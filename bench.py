@@ -1,0 +1,59 @@
+"""Benchmark: RDUNet denoise throughput (megapixels/sec/chip) on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver-set north star of 500 MP/s/chip (BASELINE.md; the reference
+publishes no numbers — it is a single-GPU PyTorch research repo with no benchmarks).
+
+Measures the steady-state inference throughput of the supervised RDUNet denoiser
+(reference flagship, UNet/RDUNet_model.py:117-186) at the reference's working size:
+256x256 patches (custom_dataset.py:49), bf16 activations, batched.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_rdunet(base_filters=32, batch=16, size=256, iters=30, warmup=5):
+    from vub_image_denoising_tpu.models import RDUNet
+
+    model = RDUNet(channels=3, base_filters=base_filters)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (batch, size, size, 3), jnp.bfloat16) * 2 - 1
+    params = jax.jit(model.init)(key, jnp.zeros((1, size, size, 3)))
+    fwd = jax.jit(model.apply)
+
+    for _ in range(warmup):
+        fwd(params, x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fwd(params, x)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+    mp = batch * size * size * iters / 1e6
+    return mp / dt
+
+
+def main():
+    value = bench_rdunet(
+        base_filters=int(os.environ.get("BENCH_BASE_FILTERS", 32)),
+        batch=int(os.environ.get("BENCH_BATCH", 16)),
+    )
+    baseline = 500.0
+    print(
+        json.dumps(
+            {
+                "metric": "rdunet_denoise_throughput",
+                "value": round(value, 2),
+                "unit": "megapixels/sec/chip",
+                "vs_baseline": round(value / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

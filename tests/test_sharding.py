@@ -1,0 +1,77 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh (conftest.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vub_image_denoising_tpu.models import RDUNet
+from vub_image_denoising_tpu.parallel import make_mesh, replicate, shard_batch
+from vub_image_denoising_tpu.parallel.mesh import put_batch, put_replicated
+from vub_image_denoising_tpu.train import SupervisedTrainer
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_sharded_train_step_matches_single_device():
+    """The data-parallel step must be numerically identical to single-device."""
+    model = RDUNet(channels=3, base_filters=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+
+    def run(mesh_devices):
+        mesh = make_mesh(mesh_devices)
+        trainer = SupervisedTrainer(model, lr=1e-3, accumulation_steps=1, mesh=mesh)
+        state = trainer.init(jax.random.PRNGKey(2), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=1)
+        xb = jax.device_put(x, shard_batch(mesh))
+        yb = jax.device_put(y, shard_batch(mesh))
+        state, loss = trainer._jit_step(state, xb, yb)
+        return float(loss), jax.device_get(state.params)
+
+    loss8, params8 = run(jax.devices())
+    loss1, params1 = run(jax.devices()[:1])
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    # Adam's g/sqrt(nu) at step 1 amplifies fp summation-order noise on near-zero
+    # gradient elements, so params agree to ~1e-3*lr, not bitwise.
+    for a, b in zip(jax.tree_util.tree_leaves(params8), jax.tree_util.tree_leaves(params1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    # the reduced gradients themselves must match tightly across mesh sizes
+    def grads_on(mesh_devices):
+        mesh = make_mesh(mesh_devices)
+        params = model.init(jax.random.PRNGKey(2), x[:1])
+        params = put_replicated(params, mesh)
+        xb = jax.device_put(x, shard_batch(mesh))
+        yb = jax.device_put(y, shard_batch(mesh))
+
+        def loss_fn(p, xs, ys):
+            return jnp.mean(jnp.abs(model.apply(p, xs) - ys))
+
+        return jax.device_get(jax.jit(jax.grad(loss_fn))(params, xb, yb))
+
+    g8 = grads_on(jax.devices())
+    g1 = grads_on(jax.devices()[:1])
+    for a, b in zip(jax.tree_util.tree_leaves(g8), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    x = jnp.zeros((16, 8, 8, 3))
+    xs = jax.device_put(x, shard_batch(mesh))
+    assert xs.sharding.spec == P("data")
+    # each device holds 2 samples
+    assert xs.addressable_shards[0].data.shape == (2, 8, 8, 3)
+
+
+def test_replicated_params():
+    mesh = make_mesh()
+    tree = {"w": jnp.ones((4, 4))}
+    rep = put_replicated(tree, mesh)
+    assert rep["w"].sharding.spec == P()
+    assert len(rep["w"].addressable_shards) == 8

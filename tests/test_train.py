@@ -1,0 +1,136 @@
+"""Trainer tests: loss decreases, accumulation semantics, schedules, resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vub_image_denoising_tpu.data import ArrayPatchDataset, PatchLoader
+from vub_image_denoising_tpu.data.device import normalize_u8
+from vub_image_denoising_tpu.models import RDUNet
+from vub_image_denoising_tpu.train import (
+    DiffusionTrainer,
+    SupervisedTrainer,
+    TrainState,
+    cosine_annealing_lr,
+    make_optimizer,
+    make_supervised_train_step,
+    step_lr,
+)
+
+
+def _toy_pairs(n=16, size=16, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    gt = rng.randint(0, 256, (n, size, size, c), np.uint8)
+    noisy = np.clip(
+        gt.astype(np.float32) + rng.normal(scale=25, size=gt.shape), 0, 255
+    ).astype(np.uint8)
+    return noisy, gt
+
+
+def _loader(batch_size=8, **kw):
+    noisy, gt = _toy_pairs(**kw)
+    ds = ArrayPatchDataset(noisy, gt)
+
+    def tf(key, n, g):
+        return normalize_u8(n), normalize_u8(g)
+
+    return PatchLoader(ds, batch_size, shuffle=True, transform=tf, num_workers=2)
+
+
+def test_step_lr_matches_torch_steplr():
+    sched = step_lr(1e-4, steps_per_epoch=10, step_size=3, gamma=0.5)
+    assert sched(0) == 1e-4
+    assert sched(29) == 1e-4  # epoch 2
+    assert sched(30) == 5e-5  # epoch 3
+    assert sched(60) == 2.5e-5  # epoch 6
+
+
+def test_cosine_lr_matches_torch_cosineannealing():
+    sched = cosine_annealing_lr(2e-4, steps_per_epoch=1, t_max=10)
+    np.testing.assert_allclose(sched(0), 2e-4)
+    np.testing.assert_allclose(sched(5), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(sched(10), 0.0, atol=1e-12)
+
+
+def test_supervised_step_decreases_loss():
+    model = RDUNet(channels=3, base_filters=4)
+    loader = _loader(batch_size=8)
+    trainer = SupervisedTrainer(model, lr=1e-3, accumulation_steps=2, checkpoint_every=1000)
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=2)
+    state, loss0 = trainer.train_epoch(state, loader, epoch=0)
+    for e in range(1, 4):
+        state, loss = trainer.train_epoch(state, loader, epoch=e)
+    assert loss < loss0
+
+
+def test_accumulation_matches_sum_of_micro_grads():
+    """One accumulated step == clip(sum of micro-batch grads) fed to the optimizer."""
+    import optax
+
+    model = RDUNet(channels=3, base_filters=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(2), x)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
+
+    step = make_supervised_train_step(model.apply, tx, accumulation_steps=2)
+    state = TrainState.create(params, tx)
+    new_state, _ = step(state, x, y)
+
+    def loss_fn(p, xs, ys):
+        return jnp.mean(jnp.abs(model.apply(p, xs) - ys))
+
+    g1 = jax.grad(loss_fn)(params, x[:2], y[:2])
+    g2 = jax.grad(loss_fn)(params, x[2:], y[2:])
+    gsum = jax.tree_util.tree_map(jnp.add, g1, g2)
+    updates, _ = tx.update(gsum, tx.init(params), params)
+    expected = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_diffusion_trainer_epoch_and_resume(tmp_path):
+    loader = _loader(batch_size=4)
+    trainer = DiffusionTrainer(
+        base_filters=4, timesteps=4, accumulation_steps=2, output_dir=str(tmp_path)
+    )
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=4)
+    state, loss = trainer.train_epoch(state, loader, jax.random.PRNGKey(1), epoch=0)
+    assert np.isfinite(loss)
+    vloss, denoised = trainer.validate(state, loader, epoch=0)
+    assert np.isfinite(vloss)
+    assert denoised.shape == (4, 16, 16, 3)
+
+    path = trainer.save_epoch_checkpoint(state, epoch=0)
+    assert "diffusion_RDUNet_model_checkpointed_epoch_1.pth" in path
+
+    # resume restores params exactly and reports the epoch
+    trainer2 = DiffusionTrainer(
+        base_filters=4, timesteps=4, accumulation_steps=2, output_dir=str(tmp_path)
+    )
+    state2 = trainer2.init(jax.random.PRNGKey(9), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=4)
+    state2, start_epoch = trainer2.load_checkpoint(state2, path)
+    assert start_epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # missing checkpoint -> epoch 0 (reference behavior, diffusion_RDUnet.py:191-193)
+    _, e0 = trainer2.load_checkpoint(state2, str(tmp_path / "nope.pth"))
+    assert e0 == 0
+
+
+def test_biased_timestep_sampling_distribution():
+    from vub_image_denoising_tpu.train.diffusion import sample_timesteps
+
+    t = sample_timesteps(jax.random.PRNGKey(0), 4096, 20, "biased")
+    t = np.asarray(t)
+    assert t.min() >= 0 and t.max() <= 20
+    # Beta(2,1) mean = 2/3 -> scaled mean ~13.3
+    assert abs(t.mean() - 20 * 2 / 3) < 0.5
+
+    tu = np.asarray(sample_timesteps(jax.random.PRNGKey(1), 4096, 20, "uniform"))
+    assert set(np.unique(tu)).issubset(set(np.arange(21.0)))
+    assert abs(tu.mean() - 10.0) < 0.5

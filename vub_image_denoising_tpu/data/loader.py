@@ -1,0 +1,276 @@
+"""Host->device data loading: threaded patch fetch + double-buffered device infeed.
+
+Replaces the reference's torch ``DataLoader(num_workers=...)`` worker processes
+(data_loader.py:76-77, SIDD_dataset.py:164-165) with a thread pool (PIL decode releases
+the GIL) and an async device prefetcher: while the TPU computes step N, the next batch
+is already being transferred and its on-device transform (noise/augment/normalize,
+data/device.py) queued — the XLA analog of ``pin_memory=True`` + prefetching.
+
+``load_data`` / ``load_sidd_data`` mirror the reference loader APIs
+(data_loader.py:7-79, SIDD_dataset.py:99-168): validation_split, dataset_percentage,
+only_validation, augment, per-split noise-level lists, use_rgb.
+"""
+
+import collections
+import concurrent.futures
+import threading
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class Subset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    @property
+    def channels(self):
+        return self.dataset.channels
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[int(self.indices[idx])]
+
+
+def random_split(dataset, sizes: Sequence[int], seed: int = 0):
+    """Shuffle-split a dataset into Subsets (torch.utils.data.random_split analog)."""
+    assert sum(sizes) == len(dataset)
+    perm = np.random.RandomState(seed).permutation(len(dataset))
+    out, start = [], 0
+    for s in sizes:
+        out.append(Subset(dataset, perm[start : start + s]))
+        start += s
+    return out
+
+
+def _collate(items):
+    """Stack a list of per-sample tuples into a tuple of batched numpy arrays."""
+    ncols = len(items[0])
+    cols = []
+    for c in range(ncols):
+        col = [it[c] for it in items]
+        if np.isscalar(col[0]) or np.ndim(col[0]) == 0:
+            cols.append(np.asarray(col, np.float32))
+        else:
+            cols.append(np.stack(col))
+    return tuple(cols)
+
+
+class PatchLoader:
+    """Iterable over device-resident batches.
+
+    Args:
+      dataset: indexable with __len__, items are tuples of arrays/scalars.
+      batch_size: global batch size (across all mesh devices).
+      shuffle: reshuffle each epoch (seeded, epoch-folded).
+      transform: optional jitted fn (key, *host_batch) -> device batch, applied with a
+        fresh PRNG key per batch (noise injection / augmentation / normalization).
+      sharding: optional jax.sharding.Sharding for the batch dim (data-parallel infeed).
+      num_workers: fetch threads.  prefetch: in-flight device batches.
+      drop_last: drop the trailing partial batch (static shapes keep XLA cache warm).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        transform: Optional[Callable] = None,
+        key: Optional[jax.Array] = None,
+        sharding=None,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.transform = transform
+        self.key = key if key is not None else jax.random.PRNGKey(seed)
+        self.sharding = sharding
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[Any]:
+        epoch_key = jax.random.fold_in(self.key, self.epoch)
+        self.epoch += 1
+
+        def fetch(batch_idx_and_step):
+            batch_idx, step = batch_idx_and_step
+            items = [self.dataset[int(i)] for i in batch_idx]
+            host = _collate(items)
+            return host, step
+
+        def to_device(host, step):
+            batch = host
+            if self.sharding is not None:
+                batch = tuple(jax.device_put(x, self.sharding) for x in batch)
+            if self.transform is not None:
+                k = jax.random.fold_in(epoch_key, step)
+                batch = self.transform(k, *batch)
+            return batch
+
+        work = list(enumerate(self._batch_indices()))
+        if not work:
+            return
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = collections.deque()
+            pending = collections.deque((idx, step) for step, idx in work)
+
+            def submit_next():
+                if pending:
+                    idx, step = pending.popleft()
+                    futures.append(pool.submit(fetch, (idx, step)))
+
+            # keep `prefetch` host fetches + device transfers in flight
+            for _ in range(self.prefetch + 1):
+                submit_next()
+            device_queue = collections.deque()
+            while futures or device_queue:
+                while futures and len(device_queue) <= self.prefetch:
+                    host, step = futures.popleft().result()
+                    device_queue.append(to_device(host, step))
+                    submit_next()
+                yield device_queue.popleft()
+
+
+def _split_loaders(
+    dataset,
+    batch_size,
+    validation_split,
+    dataset_percentage,
+    num_workers,
+    train_transform,
+    val_transform,
+    sharding,
+    seed,
+    key,
+):
+    total = len(dataset)
+    subset_size = int(total * dataset_percentage)
+    if subset_size < total:
+        dataset, _ = random_split(dataset, [subset_size, total - subset_size], seed=seed)
+    train_size = int((1 - validation_split) * len(dataset))
+    val_size = len(dataset) - train_size
+    train_ds, val_ds = random_split(dataset, [train_size, val_size], seed=seed + 1)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_train, k_val = jax.random.split(key)
+    train_loader = PatchLoader(
+        train_ds, batch_size, shuffle=True, transform=train_transform,
+        key=k_train, sharding=sharding, num_workers=num_workers, seed=seed,
+    )
+    val_loader = PatchLoader(
+        val_ds, batch_size, shuffle=False, transform=val_transform,
+        key=k_val, sharding=sharding, num_workers=num_workers, seed=seed,
+    )
+    return train_loader, val_loader
+
+
+def load_data(
+    image_folder: str,
+    batch_size: int = 4,
+    num_workers: int = 4,
+    validation_split: float = 0.2,
+    augment: bool = False,
+    dataset_percentage: float = 1.0,
+    only_validation: bool = False,
+    include_noise_level: bool = False,
+    train_noise_levels=None,
+    val_noise_levels=None,
+    use_rgb: bool = False,
+    sharding=None,
+    seed: int = 0,
+    key: Optional[jax.Array] = None,
+):
+    """Synthetic Gaussian-noise loaders over an image folder.
+
+    API parity with dataset_creation/data_loader.py:7-79.  Yields device batches
+    (noisy, clean) in [-1,1] — or (noisy, clean, sigma) with include_noise_level.
+    """
+    from functools import partial
+
+    from .datasets import FolderPatchDataset
+    from .device import degrade_and_normalize
+
+    def make_transform(do_augment):
+        def tf(k, clean_u8, sigma):
+            noisy, clean = degrade_and_normalize(k, clean_u8, sigma, augment=do_augment)
+            if include_noise_level:
+                return noisy, clean, sigma
+            return noisy, clean
+
+        return tf
+
+    if only_validation:
+        ds = FolderPatchDataset(image_folder, noise_levels=val_noise_levels, use_rgb=use_rgb)
+        loader = PatchLoader(
+            ds, batch_size, shuffle=False, transform=make_transform(augment),
+            key=key, sharding=sharding, num_workers=num_workers, seed=seed,
+        )
+        return None, loader
+
+    train_ds = FolderPatchDataset(image_folder, noise_levels=train_noise_levels, use_rgb=use_rgb)
+    return _split_loaders(
+        train_ds, batch_size, validation_split, dataset_percentage, num_workers,
+        make_transform(augment), make_transform(False), sharding, seed, key,
+    )
+
+
+def load_sidd_data(
+    root_folder: str,
+    batch_size: int = 4,
+    num_workers: int = 2,
+    validation_split: float = 0.2,
+    augment: bool = False,
+    dataset_percentage: float = 1.0,
+    only_validation: bool = False,
+    use_rgb: bool = False,
+    sharding=None,
+    seed: int = 0,
+    key: Optional[jax.Array] = None,
+):
+    """Real-noise SIDD pair loaders.  API parity with SIDD_dataset.py:99-168."""
+    from .datasets import SIDDPatchDataset
+    from .device import normalize_pair
+
+    def make_transform(do_augment):
+        def tf(k, noisy_u8, clean_u8):
+            return normalize_pair(k, noisy_u8, clean_u8, augment=do_augment)
+
+        return tf
+
+    if only_validation:
+        ds = SIDDPatchDataset(root_folder, use_rgb=use_rgb)
+        loader = PatchLoader(
+            ds, batch_size, shuffle=False, transform=make_transform(augment),
+            key=key, sharding=sharding, num_workers=num_workers, seed=seed,
+        )
+        return None, loader
+
+    ds = SIDDPatchDataset(root_folder, use_rgb=use_rgb)
+    return _split_loaders(
+        ds, batch_size, validation_split, dataset_percentage, num_workers,
+        make_transform(augment), make_transform(False), sharding, seed, key,
+    )

@@ -1,0 +1,155 @@
+"""SIDD validation evaluation + Kaggle benchmark submission.
+
+- ``SIDDMatBlocks`` / ``evaluate_sidd`` — port of evaluate_SIDD/evaluate_SIDD.py: load
+  ValidationNoisyBlocksSrgb.mat / ValidationGtBlocksSrgb.mat (keys of the same names),
+  flatten the (image, patch) grid, normalize to [-1,1], run the diffusion
+  ``improved_sampling`` per block, and report skimage-convention PSNR/SSIM with
+  data_range=2 plus wall-clock ms per block (:43-78,134-136); results go to
+  ``benchmark_results.csv`` (:139-148).
+- ``make_kaggle_submission`` — port of evaluate_SIDD/benchmark.py: denoise the 40x32
+  benchmark blocks, base64-encode each uint8 output block, write ``SubmitSrgb.csv``
+  (:77-103) for kaggle.com/competitions/sidd-benchmark-srgb-psnr.
+
+TPU-first deviation: blocks are processed in batches (the reference runs batch 1), and
+metrics are computed on-device; per-block timing is reported as batch time / batch size.
+"""
+
+import base64
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import psnr, ssim_ref
+
+
+class SIDDMatBlocks:
+    """256x256 uint8 sRGB blocks from SIDD .mat files (evaluate_SIDD.py:18-41)."""
+
+    def __init__(self, noisy_mat_file: str, gt_mat_file: Optional[str] = None,
+                 noisy_key: str = "ValidationNoisyBlocksSrgb",
+                 gt_key: str = "ValidationGtBlocksSrgb"):
+        import scipy.io
+
+        self.noisy = scipy.io.loadmat(noisy_mat_file)[noisy_key]  # (I, P, H, W, C) uint8
+        self.gt = scipy.io.loadmat(gt_mat_file)[gt_key] if gt_mat_file else None
+
+    @property
+    def n_images(self):
+        return self.noisy.shape[0]
+
+    @property
+    def n_patches(self):
+        return self.noisy.shape[1]
+
+    def __len__(self):
+        return self.n_images * self.n_patches
+
+    def __getitem__(self, idx):
+        i, p = idx // self.n_patches, idx % self.n_patches
+        if self.gt is None:
+            return self.noisy[i, p]
+        return self.noisy[i, p], self.gt[i, p]
+
+
+def _normalize_blocks(blocks_u8):
+    return (jnp.asarray(blocks_u8, jnp.float32) / 255.0 - 0.5) / 0.5
+
+
+def evaluate_sidd(
+    sampler: Callable,
+    blocks: SIDDMatBlocks,
+    evaluation_percentage: float = 0.1,
+    batch_size: int = 8,
+    seed: int = 0,
+    csv_path: Optional[str] = "benchmark_results.csv",
+    method_name: str = "tpu-diffusion-rdunet",
+):
+    """Run ``sampler(noisy_normalized) -> denoised`` over a random subset of blocks.
+
+    Returns dict with avg_psnr / avg_ssim / avg_inference_time_ms (per block).
+    """
+    assert blocks.gt is not None, "evaluation needs GT blocks"
+    n = len(blocks)
+    idx = np.random.RandomState(seed).choice(n, int(n * evaluation_percentage), replace=False)
+
+    psnrs, ssims, times = [], [], []
+    for start in range(0, len(idx), batch_size):
+        sel = idx[start : start + batch_size]
+        noisy_u8 = np.stack([blocks[int(i)][0] for i in sel])
+        gt_u8 = np.stack([blocks[int(i)][1] for i in sel])
+        noisy = _normalize_blocks(noisy_u8)
+        gt = _normalize_blocks(gt_u8)
+
+        t0 = time.perf_counter()
+        out = sampler(noisy)
+        out.block_until_ready()
+        dt_ms = (time.perf_counter() - t0) * 1000.0 / len(sel)
+
+        for k in range(len(sel)):
+            psnrs.append(float(psnr(gt[k], out[k], data_range=2.0)))
+            ssims.append(float(ssim_ref(gt[k], out[k], data_range=2.0)))
+            times.append(dt_ms)
+
+    results = {
+        "avg_psnr": float(np.mean(psnrs)),
+        "avg_ssim": float(np.mean(ssims)),
+        "avg_inference_time_ms": float(np.mean(times)),
+        "n_blocks": len(psnrs),
+    }
+    if csv_path:
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "Method": [method_name],
+                "MACs (G)": ["-"],
+                "Inference Time (ms)": [results["avg_inference_time_ms"]],
+                "PSNR": [results["avg_psnr"]],
+                "SSIM": [results["avg_ssim"]],
+            }
+        ).to_csv(csv_path, index=False)
+    return results
+
+
+def array_to_base64string(x: np.ndarray) -> str:
+    return base64.b64encode(x.tobytes()).decode("utf-8")
+
+
+def base64string_to_array(s: str, array_dtype, array_shape) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype=array_dtype).reshape(array_shape)
+
+
+def make_kaggle_submission(
+    sampler: Callable,
+    benchmark_mat_file: str,
+    output_file: str = "SubmitSrgb.csv",
+    batch_size: int = 8,
+):
+    """Denoise BenchmarkNoisyBlocksSrgb blocks and emit the Kaggle CSV.
+
+    ``sampler`` maps normalized [-1,1] blocks to denoised [-1,1]; outputs are
+    denormalized and uint8-quantized exactly like the reference (benchmark.py:42-44:
+    (x+1)/2 then clip(x*255, 0, 255).astype(uint8)).
+    """
+    import pandas as pd
+
+    blocks = SIDDMatBlocks(benchmark_mat_file, None, noisy_key="BenchmarkNoisyBlocksSrgb")
+    n = len(blocks)
+    out_strings = []
+    for start in range(0, n, batch_size):
+        sel = range(start, min(start + batch_size, n))
+        noisy_u8 = np.stack([blocks[i] for i in sel])
+        out = sampler(_normalize_blocks(noisy_u8))
+        out = np.asarray(jax.device_get(out), np.float32)
+        out = (out + 1.0) / 2.0
+        out_u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+        assert out_u8.shape == noisy_u8.shape and out_u8.dtype == noisy_u8.dtype
+        out_strings.extend(array_to_base64string(out_u8[k]) for k in range(len(out_u8)))
+
+    df = pd.DataFrame({"ID": np.arange(len(out_strings)), "BLOCK": out_strings})
+    df.to_csv(output_file, index=False)
+    return output_file

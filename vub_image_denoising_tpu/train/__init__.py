@@ -1,0 +1,4 @@
+from .schedules import step_lr, cosine_annealing_lr, make_optimizer
+from .state import TrainState
+from .supervised import make_supervised_train_step, SupervisedTrainer
+from .diffusion import make_diffusion_train_step, DiffusionTrainer

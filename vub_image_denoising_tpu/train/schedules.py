@@ -1,0 +1,67 @@
+"""LR schedules and optimizer factories matching the reference's torch semantics.
+
+- ``step_lr``            — torch StepLR(step_size, gamma) stepped once per EPOCH
+  (RDUNet_model.py:193-195: step_size=3, gamma=0.5; diffusion_RDUnet.py:269-271).
+- ``cosine_annealing_lr``— torch CosineAnnealingLR(T_max=10, eta_min=0) stepped per
+  epoch (diffusion_RDUnet.py:266).
+- ``make_optimizer``     — the reference's optimizer menu (diffusion_RDUnet.py:264-276):
+  adam (betas 0.9/0.999, cosine), adamw (wd, StepLR(3, .5)), adadelta (StepLR(3, .5));
+  global-norm gradient clipping composed in front (torch clip_grad_norm_ analog).
+
+Schedules are functions of the global step; epoch granularity is reproduced via
+``steps_per_epoch`` (the reference calls scheduler.step() once per epoch).
+"""
+
+import math
+from typing import Optional
+
+import optax
+
+
+def step_lr(base_lr: float, steps_per_epoch: int, step_size: int = 3, gamma: float = 0.5):
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return base_lr * (gamma ** (epoch // step_size))
+
+    return schedule
+
+
+def cosine_annealing_lr(
+    base_lr: float, steps_per_epoch: int, t_max: int = 10, eta_min: float = 0.0
+):
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * (epoch % (2 * t_max)) / t_max)) / 2
+
+    return schedule
+
+
+def make_optimizer(
+    optimizer_choice: str = "adamw",
+    lr: float = 1e-4,
+    weight_decay: float = 1e-4,
+    scheduler_choice: Optional[str] = None,
+    steps_per_epoch: int = 1,
+    clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Build the reference's optimizer+scheduler combination as one optax chain."""
+    if scheduler_choice is None:
+        scheduler_choice = "cosine" if optimizer_choice == "adam" else "step"
+    if scheduler_choice == "cosine":
+        schedule = cosine_annealing_lr(lr, steps_per_epoch)
+    else:
+        schedule = step_lr(lr, steps_per_epoch)
+
+    if optimizer_choice == "adam":
+        tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    elif optimizer_choice == "adamw":
+        # torch AdamW decays every param (incl. biases/PReLU) scaled by lr — same as optax
+        tx = optax.adamw(schedule, weight_decay=weight_decay)
+    elif optimizer_choice == "adadelta":
+        tx = optax.adadelta(schedule)
+    else:
+        raise ValueError(f"unknown optimizer '{optimizer_choice}'")
+
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx

@@ -1,0 +1,161 @@
+"""Supervised RDUNet trainer — TPU-native port of UNet/RDUNet_model.py:201-261.
+
+Reference semantics reproduced:
+- L1 loss between model(noisy) and clean (RDUNet_model.py:206-207, nn.L1Loss).
+- Gradient accumulation over ``accumulation_steps`` micro-batches: torch accumulates the
+  SUM of per-micro-batch mean losses' gradients, then clips the summed gradient to
+  global norm 1.0 and applies one AdamW(lr 1e-4, wd 1e-5) step (RDUNet_model.py:210-213).
+  Here the whole accumulate->clip->step is ONE jitted function taking a
+  (accum*batch, H, W, C) super-batch, scanning over micro-batches so peak memory stays
+  at one micro-batch's activations.
+- StepLR(3, 0.5) stepped per epoch (RDUNet_model.py:193-195).
+
+TPU-native additions: the batch is sharded over the mesh 'data' axis and parameters are
+replicated; XLA inserts the gradient all-reduce over ICI.  The on-device noise pipeline
+(data/device.py) fuses into this step when composed by the caller.
+"""
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import make_mesh, put_replicated, shard_batch
+from ..utils import checkpoint as ckpt_io
+from .schedules import make_optimizer
+from .state import TrainState
+
+
+def make_supervised_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    accumulation_steps: int = 1,
+    loss_fn: Optional[Callable] = None,
+    compute_dtype=jnp.float32,
+):
+    """Build the jitted accumulate->clip->step function.
+
+    apply_fn(params, noisy) -> denoised.  The returned step takes
+    (state, noisy, clean) where the leading dim is accumulation_steps * micro_batch and
+    returns (new_state, mean_loss).
+    """
+    if loss_fn is None:
+        loss_fn = lambda pred, target: jnp.mean(jnp.abs(pred - target))  # L1
+
+    def micro_loss(params, noisy, clean):
+        pred = apply_fn(params, noisy.astype(compute_dtype))
+        return loss_fn(pred.astype(jnp.float32), clean.astype(jnp.float32))
+
+    grad_fn = jax.value_and_grad(micro_loss)
+
+    def step(state: TrainState, noisy, clean):
+        n = noisy.shape[0]
+        mb = n // accumulation_steps
+        noisy = noisy[: mb * accumulation_steps].reshape(accumulation_steps, mb, *noisy.shape[1:])
+        clean = clean[: mb * accumulation_steps].reshape(accumulation_steps, mb, *clean.shape[1:])
+
+        def body(acc, xs):
+            loss_sum, grad_sum = acc
+            mb_noisy, mb_clean = xs
+            loss, grads = grad_fn(state.params, mb_noisy, mb_clean)
+            return (
+                loss_sum + loss,
+                jax.tree_util.tree_map(jnp.add, grad_sum, grads),
+            ), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (loss_sum, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zero), (noisy, clean))
+        # torch sums grads over micro-batches without dividing (RDUNet_model.py:207-213)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
+            loss_sum / accumulation_steps,
+        )
+
+    return step
+
+
+@dataclasses.dataclass
+class SupervisedTrainer:
+    """Epoch-loop driver: data-parallel train steps + eval + checkpointing + TB logging.
+
+    Mirrors ``train_model`` (RDUNet_model.py:217-261): per-epoch TensorBoard image
+    grids, StepLR per epoch (inside the optax schedule), checkpoint every
+    ``checkpoint_every`` epochs to ``checkpoints/rdunet_denoising.pth`` layout
+    ({model_state_dict, optimizer_state_dict}).
+    """
+
+    model: Any
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    accumulation_steps: int = 4
+    clip_norm: float = 1.0
+    checkpoint_every: int = 5
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_name: str = "rdunet_denoising.pth"
+    compute_dtype: Any = jnp.float32
+    mesh: Any = None
+    writer: Any = None
+
+    def init(self, key, sample_noisy, steps_per_epoch: int):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        params = jax.jit(self.model.init)(key, sample_noisy)
+        self.tx = make_optimizer(
+            "adamw",
+            lr=self.lr,
+            weight_decay=self.weight_decay,
+            scheduler_choice="step",
+            steps_per_epoch=max(1, steps_per_epoch),
+            clip_norm=self.clip_norm,
+        )
+        state = TrainState.create(params, self.tx)
+        state = put_replicated(state, self.mesh)
+        step = make_supervised_train_step(
+            self.model.apply, self.tx, self.accumulation_steps, compute_dtype=self.compute_dtype
+        )
+        self._jit_step = jax.jit(step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(
+            lambda params, noisy: self.model.apply(params, noisy.astype(self.compute_dtype))
+        )
+        return state
+
+    def batch_sharding(self):
+        return shard_batch(self.mesh)
+
+    def train_epoch(self, state, train_loader, epoch: int, log_every: int = 1):
+        losses = []
+        for batch_idx, (noisy, clean) in enumerate(train_loader):
+            state, loss = self._jit_step(state, noisy, clean)
+            losses.append(loss)
+            if self.writer is not None:
+                self.writer.add_scalar(
+                    "Loss/train", float(loss), epoch * len(train_loader) + batch_idx
+                )
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        return state, mean_loss
+
+    def evaluate_batch(self, state, noisy):
+        return self._jit_eval(state.params, noisy)
+
+    def maybe_checkpoint(self, state, epoch: int):
+        if (epoch + 1) % self.checkpoint_every == 0:
+            path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
+            ckpt_io.save_pth(path, state.params, extra={"epoch": epoch + 1})
+            return path
+        return None
+
+    def fit(self, state, train_loader, num_epochs: int, val_loader=None):
+        history = []
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            state, mean_loss = self.train_epoch(state, train_loader, epoch)
+            self.maybe_checkpoint(state, epoch)
+            history.append({"epoch": epoch, "loss": mean_loss, "sec": time.time() - t0})
+        return state, history
