@@ -1,0 +1,283 @@
+"""RCA-GAN trainer — TPU-native port of ``train_rca_gan`` (paper_gan.py:317-457).
+
+Reference semantics:
+- Generator(1,1) / Discriminator(1) on grayscale pairs (:320-321); weights_init kaiming
+  fan_in/leaky on Conv+Linear (:333, applied in our module initializers).
+- D step (:~370-385): d_loss = -mean(D(gt)) + mean(D(G(degraded).detach())) + GP;
+  Adam(lr 5e-5, betas (0.5, 0.999)), grad-clip 1.0.
+- G step: g_loss = MultimodalLoss(G(degraded), gt, degraded) with
+  (lambda1, lambda2, lambda3, lambda4) = (lambda_pixel, lambda_perceptual,
+  lambda_texture, 1) — reference argument names are shifted vs the loss slots; defaults
+  (1, 0.01, 0.001, 1).  Grad-clip 1.0.
+- StepLR(10, 0.5) on both optimizers; checkpoint every 10 epochs as
+  ``checkpoint_epoch_{n}.pth`` with {epoch, generator_state_dict,
+  discriminator_state_dict, optimizer_G_state_dict, optimizer_D_state_dict} (:447-453).
+
+TPU-native design: the D and G updates are two jitted steps over the data-parallel
+mesh; the WGAN-GP nested gradient is a ``jax.grad`` inside the loss (second-order
+autodiff under jit).  BatchNorm running stats are updated by the main G/D forwards; the
+GP's extra D evaluation does not update stats (documented deviation — running stats
+only affect eval mode).
+"""
+
+import dataclasses
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.rca_gan import Discriminator, Generator
+from ..models.vgg import VGG19Features, load_torch_vgg19
+from ..parallel.mesh import make_mesh, put_replicated, shard_batch
+from ..utils import checkpoint as ckpt_io
+from .gan_losses import gradient_penalty, multimodal_loss
+from .schedules import step_lr
+
+
+@struct.dataclass
+class GANTrainState:
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    d_stats: Any
+    g_opt: Any
+    d_opt: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass
+class RCAGANTrainer:
+    in_channels: int = 1
+    out_channels: int = 1
+    lambda_pixel: float = 1.0
+    lambda_perceptual: float = 0.01
+    lambda_texture: float = 0.001
+    lambda_gp: float = 10.0
+    lr: float = 5e-5
+    betas: tuple = (0.5, 0.999)
+    checkpoint_dir: str = "checkpoints"
+    disc_input_hw: int = 256
+    vgg_weights_path: Optional[str] = None
+    mesh: Any = None
+    writer: Any = None
+
+    def __post_init__(self):
+        self.generator = Generator(self.in_channels, self.out_channels)
+        self.discriminator = Discriminator(self.in_channels)
+        self.vgg = VGG19Features(num_layers=8)
+
+    def init(self, key, sample, steps_per_epoch: int):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        kg, kd, kv = jax.random.split(key, 3)
+        gv = jax.jit(self.generator.init, static_argnames=("train",))(kg, sample, train=False)
+        disc_sample = jnp.zeros(
+            (sample.shape[0], self.disc_input_hw, self.disc_input_hw, self.in_channels),
+            sample.dtype,
+        )
+        dv = jax.jit(self.discriminator.init, static_argnames=("train",))(kd, disc_sample, train=False)
+        self.vgg_params = self.vgg.init(kv, sample)
+        pretrained = load_torch_vgg19(self.vgg_params, self.vgg_weights_path)
+        if pretrained is not None:
+            self.vgg_params = pretrained
+
+        sched = step_lr(self.lr, max(1, steps_per_epoch), step_size=10, gamma=0.5)
+        self.tx_g = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(sched, b1=self.betas[0], b2=self.betas[1]),
+        )
+        self.tx_d = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(sched, b1=self.betas[0], b2=self.betas[1]),
+        )
+        state = GANTrainState(
+            g_params=gv["params"],
+            g_stats=gv.get("batch_stats", {}),
+            d_params=dv["params"],
+            d_stats=dv.get("batch_stats", {}),
+            g_opt=self.tx_g.init(gv["params"]),
+            d_opt=self.tx_d.init(dv["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state = put_replicated(state, self.mesh)
+        self._build_steps()
+        return state
+
+    def batch_sharding(self):
+        return shard_batch(self.mesh)
+
+    def _build_steps(self):
+        gen, disc, vgg = self.generator, self.discriminator, self.vgg
+        tx_g, tx_d = self.tx_g, self.tx_d
+        lam_gp = self.lambda_gp
+
+        def gen_fwd(params, stats, x):
+            out, mut = gen.apply(
+                {"params": params, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+
+        def d_apply_frozen(d_params, d_stats, x):
+            # train-mode BN statistics, but running-stat updates are discarded
+            out, _ = disc.apply(
+                {"params": d_params, "batch_stats": d_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return out
+
+        def d_step(state: GANTrainState, key, degraded, gt):
+            fake, new_gstats = gen_fwd(state.g_params, state.g_stats, degraded)
+            fake = jax.lax.stop_gradient(fake)
+
+            def loss_fn(d_params):
+                dvars = {"params": d_params, "batch_stats": state.d_stats}
+                d_real, mut = disc.apply(dvars, gt, train=True, mutable=["batch_stats"])
+                d_fake, mut = disc.apply(
+                    {"params": d_params, "batch_stats": mut["batch_stats"]},
+                    fake, train=True, mutable=["batch_stats"],
+                )
+                gp = gradient_penalty(
+                    lambda p, x: d_apply_frozen(p, state.d_stats, x),
+                    d_params, key, gt, fake, lam_gp,
+                )
+                loss = -jnp.mean(d_real) + jnp.mean(d_fake) + gp
+                return loss, mut["batch_stats"]
+
+            (d_loss, new_dstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.d_params
+            )
+            updates, new_dopt = tx_d.update(grads, state.d_opt, state.d_params)
+            new_dparams = optax.apply_updates(state.d_params, updates)
+            return (
+                state.replace(
+                    d_params=new_dparams, d_opt=new_dopt,
+                    d_stats=new_dstats, g_stats=new_gstats,
+                ),
+                d_loss,
+            )
+
+        def g_step(state: GANTrainState, key, degraded, gt, vgg_params):
+            def loss_fn(g_params):
+                fake, new_gstats = gen_fwd(g_params, state.g_stats, degraded)
+                total, parts = multimodal_loss(
+                    lambda p, x: vgg.apply(p, x), vgg_params,
+                    lambda p, x: d_apply_frozen(p, state.d_stats, x), state.d_params,
+                    key, fake, gt,
+                    lambda1=self.lambda_pixel, lambda2=self.lambda_perceptual,
+                    lambda3=self.lambda_texture, lambda4=1.0, lambda_gp=lam_gp,
+                )
+                return total, (new_gstats, parts)
+
+            (g_loss, (new_gstats, parts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.g_params)
+            updates, new_gopt = tx_g.update(grads, state.g_opt, state.g_params)
+            new_gparams = optax.apply_updates(state.g_params, updates)
+            return (
+                state.replace(
+                    g_params=new_gparams, g_opt=new_gopt, g_stats=new_gstats,
+                    step=state.step + 1,
+                ),
+                g_loss,
+                parts,
+            )
+
+        self._jit_d_step = jax.jit(d_step, donate_argnums=(0,))
+        self._jit_g_step = jax.jit(g_step, donate_argnums=(0,))
+        self._jit_gen_eval = jax.jit(
+            lambda params, stats, x: gen.apply(
+                {"params": params, "batch_stats": stats}, x, train=False
+            )
+        )
+
+    def train_epoch(self, state, train_loader, key, epoch: int, log_every: int = 10):
+        d_losses, g_losses = [], []
+        for batch_idx, (degraded, gt) in enumerate(train_loader):
+            k = jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
+            kd, kg = jax.random.split(k)
+            state, d_loss = self._jit_d_step(state, kd, degraded, gt)
+            state, g_loss, parts = self._jit_g_step(state, kg, degraded, gt, self.vgg_params)
+            d_losses.append(d_loss)
+            g_losses.append(g_loss)
+            if self.writer is not None and batch_idx % log_every == 0:
+                step = epoch * len(train_loader) + batch_idx
+                self.writer.add_scalar("Loss/Discriminator", float(d_loss), step)
+                self.writer.add_scalar("Loss/Generator", float(g_loss), step)
+                self.writer.add_scalar("Loss/Perceptual", float(parts["perceptual"]), step)
+                self.writer.add_scalar("Loss/Content", float(parts["content"]), step)
+                self.writer.add_scalar("Loss/Texture", float(parts["texture"]), step)
+                self.writer.add_scalar("Loss/Adversarial", float(parts["adversarial"]), step)
+        return state, float(jnp.mean(jnp.stack(d_losses))), float(jnp.mean(jnp.stack(g_losses)))
+
+    def validate(self, state, val_loader, key, epoch: int):
+        """Per-epoch validation loss over the val loader ('Loss/Validation')."""
+        losses = []
+        for batch_idx, (degraded, gt) in enumerate(val_loader):
+            fake = self._jit_gen_eval(state.g_params, state.g_stats, degraded)
+            losses.append(float(jnp.mean(jnp.abs(fake - gt))))
+        vloss = float(np.mean(losses)) if losses else float("nan")
+        if self.writer is not None:
+            self.writer.add_scalar("Loss/Validation", vloss, epoch + 1)
+        return vloss
+
+    def save_checkpoint(self, state, epoch: int):
+        """Reference layout (paper_gan.py:447-453)."""
+        import torch
+
+        path = os.path.join(self.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}.pth")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        payload = {
+            "epoch": epoch + 1,
+            "generator_state_dict": ckpt_io.params_to_torch_state_dict(
+                {"params": state.g_params, "batch_stats": state.g_stats}
+            ),
+            "discriminator_state_dict": ckpt_io.params_to_torch_state_dict(
+                {"params": state.d_params, "batch_stats": state.d_stats}
+            ),
+            "optimizer_G_state_dict": {},
+            "optimizer_D_state_dict": {},
+            "optax_g": jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_opt)),
+            "optax_d": jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_opt)),
+        }
+        torch.save(payload, path)
+        return path
+
+    def fit(self, state, train_loader, val_loader, num_epochs: int,
+            key: Optional[jax.Array] = None, checkpoint_every: int = 10):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        history = []
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            state, d_loss, g_loss = self.train_epoch(state, train_loader, key, epoch)
+            vloss = self.validate(state, val_loader, key, epoch)
+            if (epoch + 1) % checkpoint_every == 0:
+                self.save_checkpoint(state, epoch)
+            history.append({
+                "epoch": epoch, "d_loss": d_loss, "g_loss": g_loss,
+                "val_loss": vloss, "sec": time.time() - t0,
+            })
+        return state, history
+
+
+def train_rca_gan(
+    train_loader, val_loader, num_epochs=200, lambda_pixel=1.0,
+    lambda_perceptual=0.01, lambda_texture=0.001, lr=5e-5, betas=(0.5, 0.999),
+    checkpoint_dir="checkpoints", sample_batch=None, writer=None,
+):
+    """API-parity entry point (paper_gan.py:317)."""
+    trainer = RCAGANTrainer(
+        lambda_pixel=lambda_pixel, lambda_perceptual=lambda_perceptual,
+        lambda_texture=lambda_texture, lr=lr, betas=betas,
+        checkpoint_dir=checkpoint_dir, writer=writer,
+    )
+    if sample_batch is None:
+        sample_batch = next(iter(val_loader))[0]
+    trainer.disc_input_hw = sample_batch.shape[1]
+    state = trainer.init(jax.random.PRNGKey(0), sample_batch, steps_per_epoch=len(train_loader))
+    return trainer.fit(state, train_loader, val_loader, num_epochs)

@@ -36,40 +36,62 @@ def _is_transpose_conv(path_names) -> bool:
     return "conv_t" in path_names
 
 
-def params_to_torch_state_dict(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
-    """Flatten a flax ``{'params': ...}`` (or bare) pytree into a torch state_dict.
+def _torch_key_and_tensor(names, leaf):
+    """Map one flax path + leaf to (torch dotted key, numpy tensor in torch layout).
 
-    Returns an OrderedDict-like plain dict of torch tensors keyed by dotted torch
-    names.  ``prefix`` prepends e.g. ``unet.`` for DiffusionModel-wrapped checkpoints.
+    Path hygiene: the internal 'core' wrapper level (models/rdunet.py) and the BN
+    'stats' sub-module level (nn/torch_layers.py TorchBatchNorm) are dropped.
+    """
+    names = [n for n in names if n not in ("core", "stats")]
+    leafname = names[-1]
+    modname = names[:-1]
+    if leafname == "kernel":
+        if leaf.ndim == 2:  # dense: ours (in, out) -> torch (out, in)
+            return ".".join(modname + ["weight"]), leaf.T
+        if _is_transpose_conv(names):
+            return ".".join(modname + ["weight"]), leaf.transpose(2, 3, 0, 1)
+        return ".".join(modname + ["weight"]), leaf.transpose(3, 2, 0, 1)  # HWIO->OIHW
+    if leafname in ("alpha", "scale"):  # PReLU alpha / BN scale
+        return ".".join(modname + ["weight"]), leaf
+    if leafname == "bias":
+        return ".".join(modname + ["bias"]), leaf
+    if leafname == "mean":
+        return ".".join(modname + ["running_mean"]), leaf
+    if leafname == "var":
+        return ".".join(modname + ["running_var"]), leaf
+    return ".".join(names), leaf
+
+
+def params_to_torch_state_dict(variables: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Flatten flax variables into a torch state_dict.
+
+    ``variables`` may be a bare param tree, ``{'params': ...}``, or a full
+    ``{'params': ..., 'batch_stats': ...}`` dict (batch_stats become
+    running_mean/running_var, with num_batches_tracked=0 emitted for torch
+    load_state_dict(strict=True) compatibility).  ``prefix`` prepends e.g. ``unet.``
+    for DiffusionModel-wrapped checkpoints.
     """
     import torch
 
-    tree = params.get("params", params)
+    collections = []
+    if "params" in variables:
+        collections.append(variables["params"])
+        if "batch_stats" in variables:
+            collections.append(variables["batch_stats"])
+    else:
+        collections.append(variables)
+
     out: Dict[str, Any] = {}
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for path, leaf in flat:
-        names = [p.key for p in path]
-        leaf = np.asarray(jax.device_get(leaf))
-        # drop the internal 'core' wrapper (models/rdunet.py)
-        names = [n for n in names if n != "core"]
-        leafname = names[-1]
-        modname = names[:-1]
-        if leafname == "kernel":
-            if _is_transpose_conv(names):
-                w = leaf.transpose(2, 3, 0, 1)  # (kh,kw,ci,co) -> (ci,co,kh,kw)
-            else:
-                w = leaf.transpose(3, 2, 0, 1)  # HWIO -> OIHW
-            key = ".".join(modname + ["weight"])
-        elif leafname == "alpha":
-            w = leaf
-            key = ".".join(modname + ["weight"])
-        elif leafname == "bias":
-            w = leaf
-            key = ".".join(modname + ["bias"])
-        else:  # generic leaf (e.g. dense kernels in GAN heads use 'kernel' too)
-            w = leaf
-            key = ".".join(names)
-        out[prefix + key] = torch.from_numpy(np.ascontiguousarray(w))
+    for tree in collections:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = [p.key for p in path]
+            leaf = np.asarray(jax.device_get(leaf))
+            key, w = _torch_key_and_tensor(names, leaf)
+            out[prefix + key] = torch.from_numpy(np.ascontiguousarray(w))
+            if key.endswith("running_var"):
+                out[prefix + key[: -len("running_var")] + "num_batches_tracked"] = (
+                    torch.zeros((), dtype=torch.long)
+                )
     return out
 
 
@@ -77,37 +99,52 @@ def torch_state_dict_to_params(
     state_dict: Dict[str, Any], params_template: Dict[str, Any], prefix: str = ""
 ) -> Dict[str, Any]:
     """Fill a flax param pytree (template gives structure/shapes) from a torch state_dict."""
-    tree = params_template.get("params", params_template)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-    leaves = []
-    for path, leaf in flat:
-        names = [p.key for p in path]
-        tnames = [n for n in names if n != "core"]
-        leafname = tnames[-1]
-        modname = tnames[:-1]
-        if leafname in ("kernel", "alpha"):
-            key = ".".join(modname + ["weight"])
-        elif leafname == "bias":
-            key = ".".join(modname + ["bias"])
-        else:
-            key = ".".join(tnames)
-        key = prefix + key
-        if key not in state_dict:
-            raise KeyError(
-                f"checkpoint missing '{key}' (for param {'/'.join(names)}); "
-                f"available keys start with: {list(state_dict)[:5]}"
-            )
-        w = np.asarray(state_dict[key].detach().cpu().numpy() if hasattr(state_dict[key], "detach") else state_dict[key])
-        if leafname == "kernel":
-            if _is_transpose_conv(tnames):
-                w = w.transpose(2, 3, 0, 1)  # (ci,co,kh,kw) -> (kh,kw,ci,co)
+    def convert_tree(tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for path, leaf in flat:
+            names = [p.key for p in path]
+            tnames = [n for n in names if n not in ("core", "stats")]
+            leafname = tnames[-1]
+            modname = tnames[:-1]
+            if leafname in ("kernel", "alpha", "scale"):
+                key = ".".join(modname + ["weight"])
+            elif leafname == "bias":
+                key = ".".join(modname + ["bias"])
+            elif leafname == "mean":
+                key = ".".join(modname + ["running_mean"])
+            elif leafname == "var":
+                key = ".".join(modname + ["running_var"])
             else:
-                w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-        if w.shape != leaf.shape:
-            raise ValueError(f"shape mismatch for {key}: ckpt {w.shape} vs model {leaf.shape}")
-        leaves.append(jnp.asarray(w, dtype=leaf.dtype))
-    new_tree = jax.tree_util.tree_unflatten(treedef, leaves)
-    return {"params": new_tree} if "params" in params_template else new_tree
+                key = ".".join(tnames)
+            key = prefix + key
+            if key not in state_dict:
+                raise KeyError(
+                    f"checkpoint missing '{key}' (for param {'/'.join(names)}); "
+                    f"available keys start with: {list(state_dict)[:5]}"
+                )
+            w = state_dict[key]
+            w = np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
+            if leafname == "kernel":
+                if w.ndim == 2:
+                    w = w.T  # torch (out,in) -> ours (in,out)
+                elif _is_transpose_conv(tnames):
+                    w = w.transpose(2, 3, 0, 1)  # (ci,co,kh,kw) -> (kh,kw,ci,co)
+                else:
+                    w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            if w.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: ckpt {w.shape} vs model {leaf.shape}"
+                )
+            leaves.append(jnp.asarray(w, dtype=leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    if "params" in params_template:
+        out = {"params": convert_tree(params_template["params"])}
+        if "batch_stats" in params_template:
+            out["batch_stats"] = convert_tree(params_template["batch_stats"])
+        return out
+    return convert_tree(params_template)
 
 
 def save_pth(
