@@ -149,6 +149,45 @@ class SIDDPatchDataset:
         return noisy, gt
 
 
+class PairedFolderDataset:
+    """Legacy pre-paired (gt_folder, degraded_folder) dataset.
+
+    Reference: the bytecode-only root ``__pycache__/custom_dataset.pyc`` (orig 107
+    lines) pairs same-named files from a GT folder and a degraded folder, validating
+    that both folders list the same files.  Full images (no patch index) like the
+    legacy loader.
+    """
+
+    def __init__(self, gt_folder: str, degraded_folder: str, use_rgb: bool = False):
+        gt_files = sorted(
+            f for f in os.listdir(gt_folder) if f.lower().endswith(IMAGE_EXTENSIONS)
+        )
+        deg_files = sorted(
+            f for f in os.listdir(degraded_folder) if f.lower().endswith(IMAGE_EXTENSIONS)
+        )
+        if gt_files != deg_files:
+            raise ValueError(
+                "gt and degraded folders must contain identically-named images "
+                f"({len(gt_files)} vs {len(deg_files)} files)"
+            )
+        self.pairs = [
+            (os.path.join(degraded_folder, f), os.path.join(gt_folder, f))
+            for f in gt_files
+        ]
+        self.use_rgb = use_rgb
+
+    @property
+    def channels(self) -> int:
+        return 3 if self.use_rgb else 1
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int):
+        degraded_path, gt_path = self.pairs[idx]
+        return _decode(degraded_path, self.use_rgb), _decode(gt_path, self.use_rgb)
+
+
 class ArrayPatchDataset:
     """In-memory (noisy, gt) uint8 pairs — synthetic smoke data and .mat block adapter."""
 

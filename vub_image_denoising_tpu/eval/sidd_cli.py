@@ -1,0 +1,114 @@
+"""CLI entry points for SIDD validation evaluation and Kaggle benchmark submission.
+
+- ``main_validate``  — port of evaluate_SIDD/evaluate_SIDD.py:102-154: evaluate a
+  diffusion checkpoint over a random 10% of the SIDD validation blocks, print avg
+  PSNR/SSIM/inference-time, write benchmark_results.csv, save a debug sample plot.
+- ``main_benchmark`` — port of evaluate_SIDD/benchmark.py: denoise the benchmark
+  blocks with a checkpointed diffusion model and emit SubmitSrgb.csv for
+  kaggle.com/competitions/sidd-benchmark-srgb-psnr.  The reference wget-downloads the
+  .mat if missing (benchmark.py:61-68); this environment has no egress, so a missing
+  file is an error with the URL printed.
+
+Usage:
+  python -m vub_image_denoising_tpu.eval.sidd_cli validate --checkpoint ck.pth \
+      --noisy-mat ValidationNoisyBlocksSrgb.mat --gt-mat ValidationGtBlocksSrgb.mat
+  python -m vub_image_denoising_tpu.eval.sidd_cli benchmark --checkpoint ck.pth \
+      --benchmark-mat BenchmarkNoisyBlocksSrgb.mat
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.interpolation import InterpolationDiffusion
+from ..models.rdunet import RDUNetT
+from ..utils import checkpoint as ckpt_io
+from .sidd import SIDDMatBlocks, evaluate_sidd, make_kaggle_submission
+
+BENCHMARK_URL = (
+    "https://competitions.codalab.org/my/datasets/download/"
+    "0d8a1e68-155d-4301-a8cd-9b829030d719"
+)
+
+
+def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 20,
+                 bf16: bool = False):
+    """Build the jitted improved-sampling function from a .pth diffusion checkpoint."""
+    unet = RDUNetT(base_filters=base_filters)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    params = jax.eval_shape(unet.init, jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    params, _ = ckpt_io.load_pth(checkpoint_path, params, prefix="unet.")
+    diffusion = InterpolationDiffusion(timesteps=timesteps)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    @jax.jit
+    def sampler(noisy):
+        out = diffusion.improved_sampling(unet.apply, params, noisy.astype(dtype))
+        return out.astype(jnp.float32)
+
+    return sampler
+
+
+def main_validate(args):
+    blocks = SIDDMatBlocks(args.noisy_mat, args.gt_mat)
+    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps, args.bf16)
+    results = evaluate_sidd(
+        sampler, blocks, evaluation_percentage=args.evaluation_percentage,
+        batch_size=args.batch_size, seed=args.seed, csv_path=args.csv,
+    )
+    print(f"Average PSNR: {results['avg_psnr']:.2f}")
+    print(f"Average SSIM: {results['avg_ssim']:.4f}")
+    print(f"Average Inference Time: {results['avg_inference_time_ms']:.2f} ms")
+    return results
+
+
+def main_benchmark(args):
+    if not os.path.exists(args.benchmark_mat):
+        raise FileNotFoundError(
+            f"{args.benchmark_mat} not found; download it from {BENCHMARK_URL}"
+        )
+    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps, args.bf16)
+    out = make_kaggle_submission(sampler, args.benchmark_mat, args.output,
+                                 batch_size=args.batch_size)
+    print(f"Saved submission to {out}")
+    print("Submit the output file SubmitSrgb.csv at")
+    print("kaggle.com/competitions/sidd-benchmark-srgb-psnr")
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SIDD evaluation / benchmark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--checkpoint", required=True)
+    v.add_argument("--noisy-mat", default="evaluate_SIDD/ValidationNoisyBlocksSrgb.mat")
+    v.add_argument("--gt-mat", default="evaluate_SIDD/ValidationGtBlocksSrgb.mat")
+    v.add_argument("--base-filters", type=int, default=32)
+    v.add_argument("--timesteps", type=int, default=20)
+    v.add_argument("--evaluation-percentage", type=float, default=0.1)
+    v.add_argument("--batch-size", type=int, default=8)
+    v.add_argument("--seed", type=int, default=0)
+    v.add_argument("--csv", default="benchmark_results.csv")
+    v.add_argument("--bf16", action="store_true")
+
+    b = sub.add_parser("benchmark")
+    b.add_argument("--checkpoint", required=True)
+    b.add_argument("--benchmark-mat", default="evaluate_SIDD/BenchmarkNoisyBlocksSrgb.mat")
+    b.add_argument("--output", default="SubmitSrgb.csv")
+    b.add_argument("--base-filters", type=int, default=32)
+    b.add_argument("--timesteps", type=int, default=20)
+    b.add_argument("--batch-size", type=int, default=8)
+    b.add_argument("--bf16", action="store_true")
+
+    args = p.parse_args(argv)
+    if args.cmd == "validate":
+        return main_validate(args)
+    return main_benchmark(args)
+
+
+if __name__ == "__main__":
+    main()

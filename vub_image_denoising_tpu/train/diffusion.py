@@ -121,6 +121,7 @@ class DiffusionTrainer:
     lr: float = 1e-4
     weight_decay: float = 1e-4
     distribution_choice: str = "uniform"
+    sampling: str = "improved"  # 'improved' (T-step) or 'direct' (t=1 ablation, C12)
     accumulation_steps: int = 4
     clip_norm: float = 0.1
     output_dir: str = "checkpoints"
@@ -156,8 +157,12 @@ class DiffusionTrainer:
             compute_dtype=self.compute_dtype,
         )
         self._jit_step = jax.jit(step, donate_argnums=(0,))
+        if self.sampling == "direct":
+            sample_fn = self.diffusion.direct_sampling
+        else:
+            sample_fn = self.diffusion.improved_sampling
         self._jit_sample = jax.jit(
-            lambda params, noisy: self.diffusion.improved_sampling(
+            lambda params, noisy: sample_fn(
                 lambda p, x, t: self.unet.apply(p, x, t), params, noisy
             )
         )
