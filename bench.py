@@ -17,24 +17,54 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_rdunet(base_filters=32, batch=16, size=256, iters=30, warmup=5):
+def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=None):
+    """Steady-state RDUNet denoise throughput.
+
+    ``fused`` selects the Pallas fused-block inference engine
+    (models/fused_apply.py); default tries fused and falls back to the XLA path.
+    Timing forces completion with a device_get of one output element (on this
+    runtime block_until_ready alone does not guarantee execution finished).
+    """
     from vub_image_denoising_tpu.models import RDUNet
 
     model = RDUNet(channels=3, base_filters=base_filters)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.bfloat16) * 2 - 1
     params = jax.jit(model.init)(key, jnp.zeros((1, size, size, 3)))
-    fwd = jax.jit(model.apply)
 
-    for _ in range(warmup):
-        fwd(params, x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fwd(params, x)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
-    mp = batch * size * size * iters / 1e6
-    return mp / dt
+    def build_fused():
+        from vub_image_denoising_tpu.models.fused_apply import (
+            prepare_fused_params,
+            rdunet_apply_fused,
+        )
+
+        padded = prepare_fused_params(params)
+        return jax.jit(lambda v, x: rdunet_apply_fused(v, x)), padded
+
+    candidates = []
+    if fused in (None, True):
+        candidates.append("fused")
+    if fused in (None, False):
+        candidates.append("xla")
+
+    best = 0.0
+    for kind in candidates:
+        try:
+            if kind == "fused":
+                fwd, p = build_fused()
+            else:
+                fwd, p = jax.jit(model.apply), params
+            for _ in range(warmup):
+                _ = jax.device_get(fwd(p, x)[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                y = fwd(p, x)
+            _ = jax.device_get(y[0, 0, 0, 0])
+            dt = time.perf_counter() - t0
+            best = max(best, batch * size * size * iters / 1e6 / dt)
+        except Exception as e:
+            print(f"# {kind} path failed: {type(e).__name__}", flush=True)
+    return best
 
 
 def main():

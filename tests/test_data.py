@@ -89,7 +89,7 @@ def test_degrade_and_normalize_with_augment_shapes():
     noisy, cl = degrade_and_normalize(jax.random.PRNGKey(0), clean, sigma, augment=True)
     assert noisy.shape == cl.shape == (4, 32, 32, 3)
     assert noisy.dtype == jnp.float32
-    assert float(jnp.abs(noisy).max()) <= 1.0
+    assert float(jnp.abs(noisy).max()) <= 1.0 + 1e-5  # fp rounding in (x/255-.5)/.5
 
 
 def test_patch_loader_batches_and_transform():

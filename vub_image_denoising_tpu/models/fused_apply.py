@@ -1,0 +1,150 @@
+"""Fused inference engine for RDUNet / RDUNet_T.
+
+A pure functional forward that consumes the exact same param pytree as the flax models
+(models/rdunet.py) but routes every DenoisingBlock through the Pallas mega-kernel
+(ops/fused_block.py) and implements the remaining blocks with minimal-op lax calls.
+This is the serving/eval hot path: on this TPU runtime each HLO op carries fixed
+dispatch overhead, so collapsing the ~12 ops of each of the 24 dense blocks into one
+kernel dominates the speedup; it also removes the HBM round-trips of the dense-concat
+intermediates.
+
+Training keeps the flax path (the fused kernel defines no custom VJP yet); numerical
+parity between the two paths is tested in tests/test_fused_apply.py.
+"""
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fused_block import fused_denoising_block, pad_block_params
+
+_DENSE_BLOCKS = [
+    "block_0_0", "block_0_1", "block_1_0", "block_1_1", "block_2_0", "block_2_1",
+    "block_3_0", "block_3_1", "block_2_2", "block_2_3", "block_1_2", "block_1_3",
+    "block_0_2", "block_0_3",
+]
+
+
+def _cpad(c):
+    return -(-c // 128) * 128
+
+
+def prepare_fused_params(variables):
+    """Pre-pad every DenoisingBlock's params to 128-multiple channels (Mosaic DMA lane
+    alignment).  Do this ONCE outside the hot loop; the fused forward then only
+    pads/unpads activations at stage boundaries."""
+    root = variables["params"] if "params" in variables else variables
+    core = dict(root["core"]) if "core" in root else dict(root)
+    for name in _DENSE_BLOCKS:
+        cin = core[name]["conv_0"]["kernel"].shape[2]
+        core[name] = pad_block_params(core[name], _cpad(cin))
+    if "core" in root:
+        return {"params": {**root, "core": core}}
+    return {"params": core} if "params" in variables else core
+
+
+def _prelu(x, alpha):
+    return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+def _conv3x3(x, p):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(x.dtype)
+
+
+def _input_block(p, x):
+    x = _prelu(_conv3x3(x, p["conv_1"]), p["actv_1"]["alpha"])
+    return _prelu(_conv3x3(x, p["conv_2"]), p["actv_2"]["alpha"])
+
+
+def _output_block(p, x):
+    x = _prelu(_conv3x3(x, p["conv_1"]), p["actv_1"]["alpha"])
+    return _prelu(_conv3x3(x, p["conv_2"]), p["actv_2"]["alpha"])
+
+
+def _down(p, x):
+    n, h, w, cin = x.shape
+    k = p["conv"]["kernel"]
+    cout = k.shape[-1]
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, cin)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * cin)
+    y = xs @ k.reshape(4 * cin, cout).astype(x.dtype) + p["conv"]["bias"].astype(x.dtype)
+    return _prelu(y, p["actv"]["alpha"])
+
+
+def _up(p, upsample, concat):
+    n, h, w, cin = upsample.shape
+    k = p["conv_t"]["kernel"]
+    cout = k.shape[-1]
+    wk = k.transpose(2, 0, 1, 3).reshape(cin, 4 * cout).astype(upsample.dtype)
+    y = (upsample @ wk).reshape(n, h, w, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+    y = y + p["conv_t"]["bias"].astype(upsample.dtype)
+    y = _prelu(y, p["actv_t"]["alpha"])
+    cat = jnp.concatenate([concat, y], axis=-1)
+    return _prelu(_conv3x3(cat, p["conv"]), p["actv"]["alpha"])
+
+
+def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False):
+    def dense_pair(name_a, name_b, h):
+        """Two fused blocks in channel-padded space: pad once, unpad once."""
+        c = h.shape[-1]
+        cpad = _cpad(c) if not interpret else c
+        params_a, params_b = p[name_a], p[name_b]
+        if params_a["conv_0"]["kernel"].shape[2] != cpad:
+            params_a = pad_block_params(params_a, cpad)
+        if params_b["conv_0"]["kernel"].shape[2] != cpad:
+            params_b = pad_block_params(params_b, cpad)
+        if cpad != c:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, cpad - c)))
+        h = fused_denoising_block(h, params_a, tile_rows=tile_rows, interpret=interpret)
+        h = fused_denoising_block(h, params_b, tile_rows=tile_rows, interpret=interpret)
+        if cpad != c:
+            h = h[..., :c]
+        return h
+
+    out0 = _input_block(p["input_block"], x)
+    out0 = dense_pair("block_0_0", "block_0_1", out0)
+
+    out1 = _down(p["down_0"], out0)
+    out1 = dense_pair("block_1_0", "block_1_1", out1)
+
+    out2 = _down(p["down_1"], out1)
+    out2 = dense_pair("block_2_0", "block_2_1", out2)
+
+    out3 = _down(p["down_2"], out2)
+    out3 = dense_pair("block_3_0", "block_3_1", out3)
+
+    out4 = _up(p["up_2"], out3, out2)
+    out4 = dense_pair("block_2_2", "block_2_3", out4)
+
+    out5 = _up(p["up_1"], out4, out1)
+    out5 = dense_pair("block_1_2", "block_1_3", out5)
+
+    out6 = _up(p["up_0"], out5, out0)
+    out6 = dense_pair("block_0_2", "block_0_3", out6)
+
+    return _output_block(p["output_block"], out6)
+
+
+def rdunet_apply_fused(variables, x, tile_rows=None, interpret=False):
+    """Drop-in replacement for RDUNet.apply on the same variables pytree."""
+    p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
+    return _core(p, x, tile_rows, interpret) + x
+
+
+def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False):
+    """Drop-in replacement for RDUNetT.apply (time-conditioned)."""
+    p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
+    n, h, w, _ = x.shape
+    t = jnp.asarray(t, x.dtype)
+    if t.ndim <= 1:
+        t_plane = jnp.broadcast_to(t.reshape(-1, 1, 1, 1), (n, h, w, 1))
+    else:
+        t_plane = jnp.broadcast_to(t.astype(x.dtype), (n, h, w, 1))
+    xt = jnp.concatenate([x, t_plane], axis=-1)
+    return _core(p, xt, tile_rows, interpret) + x
