@@ -53,12 +53,10 @@ def test_channel_padded_block_matches_unpadded():
     np.testing.assert_array_equal(got[..., cin:], 0.0)
 
 
-def test_prepare_fused_params_shapes():
+def test_prepare_fused_params_identity():
     model = RDUNet(channels=3, base_filters=8)
     x = jnp.zeros((1, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
-    padded = prepare_fused_params(variables)
-    k = padded["params"]["core"]["block_0_0"]["conv_0"]["kernel"]
-    assert k.shape[2] == 128  # 8 -> 128
-    k3 = padded["params"]["core"]["block_0_0"]["conv_3"]["kernel"]
-    assert k3.shape[3] == 128
+    out = prepare_fused_params(variables)
+    assert out["params"]["core"]["block_0_0"]["conv_0"]["kernel"].shape == \
+        variables["params"]["core"]["block_0_0"]["conv_0"]["kernel"].shape

@@ -31,17 +31,12 @@ def _cpad(c):
 
 
 def prepare_fused_params(variables):
-    """Pre-pad every DenoisingBlock's params to 128-multiple channels (Mosaic DMA lane
-    alignment).  Do this ONCE outside the hot loop; the fused forward then only
-    pads/unpads activations at stage boundaries."""
-    root = variables["params"] if "params" in variables else variables
-    core = dict(root["core"]) if "core" in root else dict(root)
-    for name in _DENSE_BLOCKS:
-        cin = core[name]["conv_0"]["kernel"].shape[2]
-        core[name] = pad_block_params(core[name], _cpad(cin))
-    if "core" in root:
-        return {"params": {**root, "core": core}}
-    return {"params": core} if "params" in variables else core
+    """Parameter preparation hook for the fused engine.
+
+    With the hybrid fused/XLA policy (Pallas only at 128-multiple channel counts) no
+    pre-padding is required; kept as the stable API point for future weight
+    transformations (e.g. pre-flattened (3, 3K, N) kernels)."""
+    return variables
 
 
 def _prelu(x, alpha):
@@ -89,22 +84,30 @@ def _up(p, upsample, concat):
     return _prelu(_conv3x3(cat, p["conv"]), p["actv"]["alpha"])
 
 
+def _dense_block_xla(params, x):
+    """XLA fallback DenoisingBlock (same math as nn/blocks.py DenoisingBlock)."""
+    out0 = _prelu(_conv3x3(x, params["conv_0"]), params["actv_0"]["alpha"])
+    cat0 = jnp.concatenate([x, out0], axis=-1)
+    out1 = _prelu(_conv3x3(cat0, params["conv_1"]), params["actv_1"]["alpha"])
+    cat1 = jnp.concatenate([cat0, out1], axis=-1)
+    out2 = _prelu(_conv3x3(cat1, params["conv_2"]), params["actv_2"]["alpha"])
+    cat2 = jnp.concatenate([cat1, out2], axis=-1)
+    out3 = _prelu(_conv3x3(cat2, params["conv_3"]), params["actv_3"]["alpha"])
+    return out3 + x
+
+
 def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False):
     def dense_pair(name_a, name_b, h):
-        """Two fused blocks in channel-padded space: pad once, unpad once."""
+        """Two dense blocks; Pallas-fused when the channel count is already a
+        128-lane multiple (no padding waste), XLA otherwise.  Measured on v5e:
+        fused wins at c>=128 but channel padding at c=32/64 more than triples the
+        kernel's FLOPs, so those scales keep the XLA path."""
         c = h.shape[-1]
-        cpad = _cpad(c) if not interpret else c
-        params_a, params_b = p[name_a], p[name_b]
-        if params_a["conv_0"]["kernel"].shape[2] != cpad:
-            params_a = pad_block_params(params_a, cpad)
-        if params_b["conv_0"]["kernel"].shape[2] != cpad:
-            params_b = pad_block_params(params_b, cpad)
-        if cpad != c:
-            h = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, cpad - c)))
-        h = fused_denoising_block(h, params_a, tile_rows=tile_rows, interpret=interpret)
-        h = fused_denoising_block(h, params_b, tile_rows=tile_rows, interpret=interpret)
-        if cpad != c:
-            h = h[..., :c]
+        use_fused = interpret or (c % 128 == 0)
+        if not use_fused:
+            return _dense_block_xla(p[name_b], _dense_block_xla(p[name_a], h))
+        h = fused_denoising_block(h, p[name_a], tile_rows=tile_rows, interpret=interpret)
+        h = fused_denoising_block(h, p[name_b], tile_rows=tile_rows, interpret=interpret)
         return h
 
     out0 = _input_block(p["input_block"], x)

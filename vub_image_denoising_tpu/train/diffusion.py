@@ -195,6 +195,20 @@ class DiffusionTrainer:
         vloss = float(combined_loss(denoised.astype(jnp.float32), clean.astype(jnp.float32)))
         if self.writer is not None:
             self.writer.add_scalar("Loss/validation", vloss, epoch + 1)
+            # per-epoch image grids (diffusion_RDUnet.py:146-159; first 10 images)
+            from ..data.device import denormalize as denorm
+            from ..utils.tb import add_image_grid
+
+            for tag, imgs in (
+                (f"Epoch_{epoch + 1}/Clean Images", clean),
+                (f"Epoch_{epoch + 1}/Noisy Images", noisy),
+                (f"Epoch_{epoch + 1}/Denoised Images", denoised),
+            ):
+                add_image_grid(
+                    self.writer, tag,
+                    np.asarray(denorm(jnp.asarray(imgs[:10], jnp.float32))),
+                    epoch + 1,
+                )
         return vloss, denoised
 
     def save_epoch_checkpoint(self, state, epoch: int):
