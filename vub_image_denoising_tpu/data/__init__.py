@@ -1,3 +1,8 @@
-from .datasets import FolderPatchDataset, SIDDPatchDataset, ArrayPatchDataset
-from .device import degrade_and_normalize, augment_pair, normalize_pair, denormalize
+from .datasets import (
+    ArrayPatchDataset,
+    FolderPatchDataset,
+    PairedFolderDataset,
+    SIDDPatchDataset,
+)
+from .device import augment_pair, degrade_and_normalize, denormalize, normalize_pair
 from .loader import PatchLoader, load_data, load_sidd_data

@@ -99,11 +99,17 @@ def _dense_block_xla(params, x):
 def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False):
     def dense_pair(name_a, name_b, h):
         """Two dense blocks; Pallas-fused when the channel count is already a
-        128-lane multiple (no padding waste), XLA otherwise.  Measured on v5e:
-        fused wins at c>=128 but channel padding at c=32/64 more than triples the
-        kernel's FLOPs, so those scales keep the XLA path."""
+        128-lane multiple (no padding waste) AND the block's weights fit in VMEM
+        alongside the activations (the kernel keeps all four convs' weights
+        resident; streaming them is future work).  Measured on v5e: fused wins at
+        c>=128, while channel padding at c=32/64 more than triples the kernel's
+        FLOPs, so those scales keep the XLA path."""
         c = h.shape[-1]
-        use_fused = interpret or (c % 128 == 0)
+        inner = p[name_a]["conv_0"]["kernel"].shape[-1]
+        ktots = [c, c + inner, c + 2 * inner, c + 3 * inner]
+        weight_bytes = sum(9 * kt * (inner if i < 3 else c) * 2
+                           for i, kt in enumerate(ktots))
+        use_fused = interpret or (c % 128 == 0 and weight_bytes <= (4 << 20))
         if not use_fused:
             return _dense_block_xla(p[name_b], _dense_block_xla(p[name_a], h))
         h = fused_denoising_block(h, p[name_a], tile_rows=tile_rows, interpret=interpret)

@@ -16,9 +16,9 @@ layout-native (lanes = channels, sublanes = flattened row-major pixels):
   (zero-weight pad lanes ride through the residual untouched).
 - all levels keep the FULL padded width Wp = W+8; flattened row-major, a column shift
   by +-1 is a sublane shift of the 2-D array whose cross-row carries land on the
-  zero-padding columns — so the three dx taps become
-  ``concat([shift(x,+1), x, shift(x,-1)], lanes)`` and the 3x3 kernel flattens to
-  (3, 3K, N): one MXU matmul per dy tap, three per conv.
+  zero-padding columns — the 3x3 conv becomes 9 MXU matmuls over (dy row-slice,
+  dx shifted copy) with the full concat-channel contraction; only ONE shifted copy is
+  live at a time, bounding VMEM.
 - the dy taps and the halo pyramid (TH+8 -> TH+6 -> ... -> TH rows) are Wp-aligned
   flat slices; the dense-concat inputs are lane concatenations.
 - out-of-image samples are zeroed by iota masks (flat index -> row, col), making the
@@ -52,25 +52,26 @@ def _shift_rows(x2d, shift):
     return jnp.concatenate([x2d[-shift:], zeros], axis=0)
 
 
-def _conv3x3_flat(parts, w2, bias, rows_out, wp):
+def _conv3x3_flat(parts, w, bias, rows_out, wp):
     """3x3 conv in flattened fixed-width frame.
 
-    parts: list of 2-D (rows_in*wp, k_p) values (rows_in = rows_out + 2).  w2:
-    (3, 3*K, N), K = sum k_p.  Returns (rows_out*wp, N) f32.  The dx taps ride in the
-    contraction dim via rolled copies; the dy taps are wp-aligned flat slices.
+    parts: list of 2-D (rows_in*wp, k_p) values (rows_in = rows_out + 2).  w: HWIO
+    (3, 3, K, N), K = sum k_p.  Returns (rows_out*wp, N) f32.  One shifted copy is
+    live at a time (dx loop) to bound VMEM; the dy taps are wp-aligned flat slices.
     """
     x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-    xcat = jnp.concatenate([_shift_rows(x, 1), x, _shift_rows(x, -1)], axis=-1)
-    n = w2.shape[-1]
+    n = w.shape[-1]
     m = rows_out * wp
     acc = jnp.zeros((m, n), jnp.float32)
-    for dy in range(3):
-        acc = acc + jax.lax.dot_general(
-            xcat[dy * wp : dy * wp + m],
-            w2[dy],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    for dx in range(3):
+        xs = x if dx == 1 else _shift_rows(x, 1 - dx)
+        for dy in range(3):
+            acc = acc + jax.lax.dot_general(
+                xs[dy * wp : dy * wp + m],
+                w[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     return acc + bias.reshape(1, n).astype(jnp.float32)
 
 
@@ -96,9 +97,8 @@ def _mask_flat(y, level, row_base, height, width, wp, pad=4):
 
 
 def _reshape_w(k, dtype):
-    """HWIO (3,3,K,N) -> (3, 3K, N) matching the [shift+1, x, shift-1] lane order."""
-    kh, kw, kk, n = k.shape
-    return k.reshape(3, 3 * kk, n).astype(dtype)
+    """Kernel weights stay HWIO (3, 3, K, N); just cast to the compute dtype."""
+    return k.astype(dtype)
 
 
 def pad_block_params(params, cpad):
@@ -151,7 +151,7 @@ def fused_denoising_block(x, params, tile_rows=None, interpret=False):
         ktots = [cin, cin + inner, cin + 2 * inner, cin + 3 * inner]
         weight_bytes = sum(9 * kt * (inner if i < 3 else cin) * 2
                            for i, kt in enumerate(ktots))
-        bytes_per_row = wp * 2 * (cin + 3 * sum(ktots) + 3 * inner + 4 * cin)
+        bytes_per_row = wp * 2 * (cin + 2 * max(ktots) + sum(ktots) // 2 + 3 * inner + 4 * cin)
         # empirical: Mosaic's stacked scoped allocation runs ~1.6x this estimate,
         # so target 8MB to stay under the 16MB VMEM limit
         avail = (8 << 20) - weight_bytes
