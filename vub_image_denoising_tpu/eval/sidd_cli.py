@@ -34,8 +34,11 @@ BENCHMARK_URL = (
 
 
 def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 20,
-                 bf16: bool = False):
-    """Build the jitted improved-sampling function from a .pth diffusion checkpoint."""
+                 bf16: bool = False, fused: bool = False):
+    """Build the jitted improved-sampling function from a .pth diffusion checkpoint.
+
+    ``fused`` routes the U-Net through the Pallas fused-block engine
+    (models/fused_apply.py) — the small-batch latency path."""
     unet = RDUNetT(base_filters=base_filters)
     dummy = jnp.zeros((1, 64, 64, 3))
     params = jax.eval_shape(unet.init, jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))
@@ -44,9 +47,16 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
     diffusion = InterpolationDiffusion(timesteps=timesteps)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
+    if fused:
+        from ..models.fused_apply import rdunet_t_apply_fused
+
+        apply_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t)
+    else:
+        apply_fn = unet.apply
+
     @jax.jit
     def sampler(noisy):
-        out = diffusion.improved_sampling(unet.apply, params, noisy.astype(dtype))
+        out = diffusion.improved_sampling(apply_fn, params, noisy.astype(dtype))
         return out.astype(jnp.float32)
 
     return sampler
@@ -54,7 +64,8 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
 
 def main_validate(args):
     blocks = SIDDMatBlocks(args.noisy_mat, args.gt_mat)
-    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps, args.bf16)
+    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
+                           args.bf16, getattr(args, "fused", False))
     results = evaluate_sidd(
         sampler, blocks, evaluation_percentage=args.evaluation_percentage,
         batch_size=args.batch_size, seed=args.seed, csv_path=args.csv,
@@ -70,7 +81,8 @@ def main_benchmark(args):
         raise FileNotFoundError(
             f"{args.benchmark_mat} not found; download it from {BENCHMARK_URL}"
         )
-    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps, args.bf16)
+    sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
+                           args.bf16, getattr(args, "fused", False))
     out = make_kaggle_submission(sampler, args.benchmark_mat, args.output,
                                  batch_size=args.batch_size)
     print(f"Saved submission to {out}")
@@ -94,6 +106,8 @@ def main(argv=None):
     v.add_argument("--seed", type=int, default=0)
     v.add_argument("--csv", default="benchmark_results.csv")
     v.add_argument("--bf16", action="store_true")
+    v.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused-block engine (small-batch latency path)")
 
     b = sub.add_parser("benchmark")
     b.add_argument("--checkpoint", required=True)
@@ -103,6 +117,7 @@ def main(argv=None):
     b.add_argument("--timesteps", type=int, default=20)
     b.add_argument("--batch-size", type=int, default=8)
     b.add_argument("--bf16", action="store_true")
+    b.add_argument("--fused", action="store_true")
 
     args = p.parse_args(argv)
     if args.cmd == "validate":
