@@ -67,16 +67,21 @@ def evaluate_sidd(
     seed: int = 0,
     csv_path: Optional[str] = "benchmark_results.csv",
     method_name: str = "tpu-diffusion-rdunet",
+    sample_plot_path: Optional[str] = None,
+    n_samples: int = 4,
 ):
     """Run ``sampler(noisy_normalized) -> denoised`` over a random subset of blocks.
 
     Returns dict with avg_psnr / avg_ssim / avg_inference_time_ms (per block).
+    With ``sample_plot_path``, saves debug triptychs of the first ``n_samples`` blocks
+    (evaluate_SIDD.py:70-72, 84-100 collected samples 11..14; we take the first few).
     """
     assert blocks.gt is not None, "evaluation needs GT blocks"
     n = len(blocks)
     idx = np.random.RandomState(seed).choice(n, int(n * evaluation_percentage), replace=False)
 
     psnrs, ssims, times = [], [], []
+    samples = []
     for start in range(0, len(idx), batch_size):
         sel = idx[start : start + batch_size]
         noisy_u8 = np.stack([blocks[int(i)][0] for i in sel])
@@ -93,6 +98,8 @@ def evaluate_sidd(
             psnrs.append(float(psnr(gt[k], out[k], data_range=2.0)))
             ssims.append(float(ssim_ref(gt[k], out[k], data_range=2.0)))
             times.append(dt_ms)
+            if sample_plot_path and len(samples) < n_samples:
+                samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
 
     results = {
         "avg_psnr": float(np.mean(psnrs)),
@@ -112,7 +119,39 @@ def evaluate_sidd(
                 "SSIM": [results["avg_ssim"]],
             }
         ).to_csv(csv_path, index=False)
+    if sample_plot_path and samples:
+        plot_sample_images(samples, sample_plot_path)
     return results
+
+
+def plot_sample_images(sample_images, path: str = "sidd_samples.png"):
+    """Debug triptychs (noisy / GT / denoised) — evaluate_SIDD.py:84-100.
+
+    ``sample_images``: list of (noisy, gt, output) HWC arrays in [-1, 1].
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    def denorm(img):
+        return np.clip((np.asarray(img) + 1.0) / 2.0, 0, 1)
+
+    n = len(sample_images)
+    if n == 0:
+        return None
+    fig, axs = plt.subplots(n, 3, figsize=(15, 5 * n), squeeze=False)
+    for i, (noisy, gt, output) in enumerate(sample_images):
+        for j, (img, title) in enumerate(
+            [(noisy, "Noisy"), (gt, "Ground Truth"), (output, "Denoised")]
+        ):
+            axs[i, j].imshow(denorm(img))
+            axs[i, j].set_title(title)
+            axs[i, j].axis("off")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)
+    return path
 
 
 def array_to_base64string(x: np.ndarray) -> str:
