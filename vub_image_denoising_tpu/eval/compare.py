@@ -30,9 +30,35 @@ from ..diffusion.interpolation import InterpolationDiffusion
 from ..models.rdunet import RDUNet, RDUNetT
 from ..utils import checkpoint as ckpt_io
 from .metrics import psnr as psnr_metric
-from .metrics import ssim_ref
+from .metrics import psnr_per_image, ssim_ref, ssim_ref_per_image
 from .perceptual import make_dists, make_lpips
 from . import plots
+
+
+def make_batch_metrics(lpips_fn, dists_fn, strict=True):
+    """One jitted call computing per-image PSNR/SSIM/LPIPS/DISTS vectors for a batch.
+
+    Identical values to the reference's per-image loop (evaluate_model.py:46-71,
+    including its conventions — see module docstring) but ~batch_size fewer device
+    round-trips per variant."""
+
+    @jax.jit
+    def f(gt, proc):
+        if strict:
+            a, b = gt, proc
+        else:
+            a, b = denormalize(gt), denormalize(proc)
+        p = psnr_per_image(a, b, data_range=1.0)
+        s = ssim_ref_per_image(a, b, data_range=1.0)
+        ga, gb = (2 * gt - 1, 2 * proc - 1) if strict else (gt, proc)
+        if ga.shape[-1] == 1:
+            ga = jnp.repeat(ga, 3, axis=-1)
+            gb = jnp.repeat(gb, 3, axis=-1)
+        l = lpips_fn(ga, gb) if lpips_fn else jnp.full(p.shape, jnp.nan)
+        d = dists_fn(ga, gb) if dists_fn else jnp.full(p.shape, jnp.nan)
+        return p, s, l, d
+
+    return f
 
 
 def denormalize(x, mean=0.5, std=0.5):
@@ -87,6 +113,7 @@ def evaluate_model_and_plot(
 
     lpips_fn, _ = make_lpips(weights_path=lpips_weights)
     dists_fn, _ = make_dists()
+    batch_metrics = make_batch_metrics(lpips_fn, dists_fn, strict_reference_conventions)
 
     keys = ["psnr", "ssim", "lpips", "dists"]
     variants = ["degraded", "diffusion", "unet", "bm3d"]
@@ -144,17 +171,24 @@ def evaluate_model_and_plot(
             else:
                 pred_unet = pred_diffusion
 
+            # batched metrics: one device call per variant instead of per image
+            gt_dev = jnp.asarray(gt, jnp.float32)
+            res_deg_b = [np.asarray(v) for v in batch_metrics(gt_dev, jnp.asarray(degraded, jnp.float32))]
+            res_dif_b = [np.asarray(v) for v in batch_metrics(gt_dev, pred_diffusion.astype(jnp.float32))]
+            res_un_b = (
+                [np.asarray(v) for v in batch_metrics(gt_dev, pred_unet.astype(jnp.float32))]
+                if evaluate_unet else None
+            )
+
             degraded_np = np.asarray(degraded)
             gt_np = np.asarray(gt)
             pd_np = np.asarray(pred_diffusion)
             pu_np = np.asarray(pred_unet)
 
             for j in range(degraded_np.shape[0]):
-                strict = strict_reference_conventions
-                res_deg = compute_metrics(gt_np[j], degraded_np[j], lpips_fn, dists_fn, strict)
-                res_dif = compute_metrics(gt_np[j], pd_np[j], lpips_fn, dists_fn, strict)
-                res_un = compute_metrics(gt_np[j], pu_np[j], lpips_fn, dists_fn, strict) \
-                    if evaluate_unet else (np.nan,) * 4
+                res_deg = tuple(float(v[j]) for v in res_deg_b)
+                res_dif = tuple(float(v[j]) for v in res_dif_b)
+                res_un = tuple(float(v[j]) for v in res_un_b) if evaluate_unet else (np.nan,) * 4
 
                 if use_bm3d:
                     try:

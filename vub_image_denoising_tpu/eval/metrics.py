@@ -24,15 +24,20 @@ def mse(pred, target, axis=None):
     return jnp.mean((pred - target) ** 2, axis=axis)
 
 
+def psnr_per_image(pred, target, data_range=1.0):
+    """Per-image PSNR vector over an (N,H,W,C) batch: 10*log10(range^2 / mse)."""
+    if pred.ndim == 3:
+        pred, target = pred[None], target[None]
+    m = mse(pred, target, axis=(1, 2, 3))
+    return 10.0 * jnp.log10((data_range**2) / m)
+
+
 def psnr(pred, target, data_range=1.0):
     """Per-image PSNR over (H,W,C), mean over the batch; 10*log10(range^2 / mse).
 
     Accepts (H,W,C) or (N,H,W,C).
     """
-    if pred.ndim == 3:
-        pred, target = pred[None], target[None]
-    m = mse(pred, target, axis=(1, 2, 3))
-    return jnp.mean(10.0 * jnp.log10((data_range**2) / m))
+    return jnp.mean(psnr_per_image(pred, target, data_range))
 
 
 def _uniform_valid_mean(x, win):
@@ -76,3 +81,12 @@ def ssim_ref(pred, target, data_range=2.0, win_size=7, k1=0.01, k2=0.03):
     b1 = ux * ux + uy * uy + c1
     b2 = vx + vy + c2
     return jnp.mean((a1 * a2) / (b1 * b2))
+
+
+def ssim_ref_per_image(pred, target, data_range=2.0, win_size=7, k1=0.01, k2=0.03):
+    """Per-image skimage-convention SSIM vector over an (N,H,W,C) batch."""
+    if pred.ndim == 3:
+        pred, target = pred[None], target[None]
+    return jax.vmap(
+        lambda a, b: ssim_ref(a[None], b[None], data_range, win_size, k1, k2)
+    )(pred, target)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .metrics import psnr, ssim_ref
+from .metrics import psnr, psnr_per_image, ssim_ref, ssim_ref_per_image
 
 
 class SIDDMatBlocks:
@@ -80,6 +80,16 @@ def evaluate_sidd(
     n = len(blocks)
     idx = np.random.RandomState(seed).choice(n, int(n * evaluation_percentage), replace=False)
 
+    # metrics for a whole batch in ONE jitted call — per-image metric dispatches are
+    # round-trip-bound on remote runtimes (evaluate_SIDD.py computes per block; the
+    # values are identical)
+    @jax.jit
+    def batch_metrics(gt_b, out_b):
+        return (
+            psnr_per_image(gt_b, out_b, data_range=2.0),
+            ssim_ref_per_image(gt_b, out_b, data_range=2.0),
+        )
+
     psnrs, ssims, times = [], [], []
     samples = []
     for start in range(0, len(idx), batch_size):
@@ -94,11 +104,12 @@ def evaluate_sidd(
         out.block_until_ready()
         dt_ms = (time.perf_counter() - t0) * 1000.0 / len(sel)
 
-        for k in range(len(sel)):
-            psnrs.append(float(psnr(gt[k], out[k], data_range=2.0)))
-            ssims.append(float(ssim_ref(gt[k], out[k], data_range=2.0)))
-            times.append(dt_ms)
-            if sample_plot_path and len(samples) < n_samples:
+        p_vec, s_vec = batch_metrics(gt, out)
+        psnrs.extend(np.asarray(p_vec, np.float64).tolist())
+        ssims.extend(np.asarray(s_vec, np.float64).tolist())
+        times.extend([dt_ms] * len(sel))
+        if sample_plot_path and len(samples) < n_samples:
+            for k in range(min(len(sel), n_samples - len(samples))):
                 samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
 
     results = {

@@ -32,14 +32,20 @@ def calculate_psnr(img1, img2):
 
 
 def evaluate_trial_psnr(trainer: DiffusionTrainer, state, val_loader) -> float:
-    """Mean per-image PSNR of the full reverse sampler on ONE val batch (:18-30)."""
+    """Mean per-image PSNR of the full reverse sampler on ONE val batch (:18-30).
+
+    Per-image PSNRs are computed in one batched call (identical values to the
+    reference's per-image loop; avoids per-image device round-trips)."""
+    from ..eval.metrics import psnr_per_image
+
     noisy, clean = next(iter(val_loader))
     denoised = trainer._jit_sample(state.params, noisy.astype(trainer.compute_dtype))
-    denoised = denormalize(np.asarray(denoised, np.float32))
-    clean = denormalize(np.asarray(clean, np.float32))
-    vals = [calculate_psnr(jnp.asarray(denoised[i]), jnp.asarray(clean[i]))
-            for i in range(len(denoised))]
-    return float(np.mean(vals))
+    vals = psnr_per_image(
+        denormalize(denoised.astype(jnp.float32)),
+        denormalize(jnp.asarray(clean, jnp.float32)),
+        data_range=1.0,
+    )
+    return float(jnp.mean(vals))
 
 
 def objective(trial, train_loader, val_loader, num_epochs: int = 5,
