@@ -145,17 +145,52 @@ class SupervisedTrainer:
         return self._jit_eval(state.params, noisy)
 
     def maybe_checkpoint(self, state, epoch: int):
+        """Reference layout every N epochs: {model_state_dict, optimizer_state_dict}
+        to checkpoints/rdunet_denoising.pth (RDUNet_model.py:252-261); the optax state
+        rides along for exact resume."""
         if (epoch + 1) % self.checkpoint_every == 0:
+            import numpy as np
+
             path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
-            ckpt_io.save_pth(path, state.params, extra={"epoch": epoch + 1})
+            opt_np = jax.tree_util.tree_map(np.asarray, jax.device_get(state.opt_state))
+            ckpt_io.save_pth(
+                path, state.params,
+                extra={"epoch": epoch + 1, "optimizer_state_dict": {},
+                       "optax_state": opt_np},
+            )
             return path
         return None
+
+    def log_image_grids(self, state, loader, epoch: int):
+        """Per-epoch clean/noisy/denoised grids on one batch (RDUNet_model.py:228-244)."""
+        if self.writer is None:
+            return
+        import numpy as np
+
+        from ..data.device import denormalize
+        from ..utils.tb import add_image_grid
+
+        try:
+            noisy, clean = next(iter(loader))
+        except StopIteration:
+            return
+        denoised = self.evaluate_batch(state, noisy)
+        for tag, imgs in (
+            (f"Epoch_{epoch + 1}/Clean Images", clean),
+            (f"Epoch_{epoch + 1}/Noisy Images", noisy),
+            (f"Epoch_{epoch + 1}/Denoised Images", denoised),
+        ):
+            add_image_grid(
+                self.writer, tag,
+                np.asarray(denormalize(jnp.asarray(imgs, jnp.float32))), epoch + 1,
+            )
 
     def fit(self, state, train_loader, num_epochs: int, val_loader=None):
         history = []
         for epoch in range(num_epochs):
             t0 = time.time()
             state, mean_loss = self.train_epoch(state, train_loader, epoch)
+            self.log_image_grids(state, val_loader or train_loader, epoch)
             self.maybe_checkpoint(state, epoch)
             history.append({"epoch": epoch, "loss": mean_loss, "sec": time.time() - t0})
         return state, history
