@@ -38,11 +38,15 @@ def ssim(pred, target, data_range=1.0, win_size=11, sigma=1.5, k1=0.01, k2=0.03)
         kh = jnp.tile(win.reshape(win_size, 1, 1, 1), (1, 1, 1, c))
         kw = jnp.tile(win.reshape(1, win_size, 1, 1), (1, 1, 1, c))
         dn = ("NHWC", "HWIO", "NHWC")
+        # this JAX build lowers default-precision f32 convs to ~bf16 accuracy;
+        # metric convs must be exact
         x = jax.lax.conv_general_dilated(
-            x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+            x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
         x = jax.lax.conv_general_dilated(
-            x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+            x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return x
 

@@ -111,6 +111,12 @@ def evaluate_model_and_plot(
 ):
     os.makedirs(save_dir, exist_ok=True)
 
+    # exact-f32 convs for the parity-critical metric/eval path (see
+    # vub_image_denoising_tpu.enable_strict_precision)
+    from .. import enable_strict_precision
+
+    enable_strict_precision()
+
     lpips_fn, _ = make_lpips(weights_path=lpips_weights)
     dists_fn, _ = make_dists()
     batch_metrics = make_batch_metrics(lpips_fn, dists_fn, strict_reference_conventions)

@@ -47,6 +47,7 @@ def _uniform_valid_mean(x, win):
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,  # metric convs must be exact f32
     )
 
 

@@ -46,6 +46,10 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
     params, _ = ckpt_io.load_pth(checkpoint_path, params, prefix="unet.")
     diffusion = InterpolationDiffusion(timesteps=timesteps)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if not bf16:
+        from .. import enable_strict_precision
+
+        enable_strict_precision()  # exact-f32 parity path
 
     if fused:
         from ..models.fused_apply import rdunet_t_apply_fused
