@@ -6,8 +6,9 @@
 #   bash scripts/tpu_job.sh [diffusion|search|supervised] [extra args...]
 set -euo pipefail
 
+# cwd import only — exporting PYTHONPATH breaks axon TPU backend registration in
+# this environment (see CLAUDE.md), and the repo root on cwd is sufficient.
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 TASK="${1:-diffusion}"
 shift || true
@@ -18,11 +19,12 @@ case "$TASK" in
     ;;
   search)
     exec python - "$@" <<'EOF'
+from vub_image_denoising_tpu.parallel.mesh import make_mesh, shard_batch
 from vub_image_denoising_tpu.train.diffusion import build_arg_parser, load_data_for
 from vub_image_denoising_tpu.search.hyperparams import run_search
 
 args = build_arg_parser().parse_args()
-train_loader, val_loader = load_data_for(args)
+train_loader, val_loader = load_data_for(args, sharding=shard_batch(make_mesh()))
 run_search(train_loader, val_loader, n_trials=50, num_epochs=5)
 EOF
     ;;

@@ -106,20 +106,103 @@ def test_diffusion_trainer_epoch_and_resume(tmp_path):
 
     path = trainer.save_epoch_checkpoint(state, epoch=0)
     assert "diffusion_RDUNet_model_checkpointed_epoch_1.pth" in path
+    import os
 
-    # resume restores params exactly and reports the epoch
+    assert os.path.isdir(path + ".orbax"), "native orbax sidecar must be written"
+
+    # resume (via the orbax sidecar) restores the FULL state exactly: params,
+    # optimizer state, and epoch
     trainer2 = DiffusionTrainer(
         base_filters=4, timesteps=4, accumulation_steps=2, output_dir=str(tmp_path)
     )
     state2 = trainer2.init(jax.random.PRNGKey(9), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=4)
     state2, start_epoch = trainer2.load_checkpoint(state2, path)
     assert start_epoch == 1
-    for a, b in zip(jax.tree_util.tree_leaves(state.params),
-                    jax.tree_util.tree_leaves(state2.params)):
+    for a, b in zip(jax.tree_util.tree_leaves((state.params, state.opt_state)),
+                    jax.tree_util.tree_leaves((state2.params, state2.opt_state))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # missing checkpoint -> epoch 0 (reference behavior, diffusion_RDUnet.py:191-193)
     _, e0 = trainer2.load_checkpoint(state2, str(tmp_path / "nope.pth"))
     assert e0 == 0
+
+
+def test_supervised_orbax_resume_is_exact(tmp_path):
+    """SupervisedTrainer.maybe_checkpoint writes the orbax sidecar and
+    load_checkpoint resumes the full state (params + optax) bit-exactly."""
+    import os
+
+    model = RDUNet(channels=3, base_filters=4)
+    loader = _loader(batch_size=8)
+    trainer = SupervisedTrainer(
+        model, lr=1e-3, accumulation_steps=2, checkpoint_every=1,
+        checkpoint_dir=str(tmp_path),
+    )
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=2)
+    state, _ = trainer.train_epoch(state, loader, epoch=0)
+    path = trainer.maybe_checkpoint(state, epoch=0)
+    assert path is not None and os.path.isdir(path + ".orbax")
+
+    trainer2 = SupervisedTrainer(model, lr=1e-3, accumulation_steps=2,
+                                 checkpoint_dir=str(tmp_path))
+    state2 = trainer2.init(jax.random.PRNGKey(7), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=2)
+    state2, epoch = trainer2.load_checkpoint(state2, path)
+    assert epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves((state.params, state.opt_state)),
+                    jax.tree_util.tree_leaves((state2.params, state2.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_train_path_is_data_parallel(tmp_path, monkeypatch):
+    """The primary CLI entry (train/diffusion.py::train) must feed mesh-sharded
+    batches to the jitted step without the caller doing anything: every train batch
+    is split over the 8-device 'data' axis with batch/n samples per device."""
+    from PIL import Image
+
+    from vub_image_denoising_tpu.train import diffusion as diff_mod
+
+    # two 512x512 images -> 8 patches x 3 sigma-levels = 24 samples; val 1/3 -> 16/8
+    folder = tmp_path / "DIV2K_train_HR.nosync"
+    folder.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (512, 512, 3), np.uint8)).save(
+            folder / f"im{i}.png"
+        )
+
+    seen = []
+    orig = diff_mod.DiffusionTrainer.train_epoch
+
+    def spying_train_epoch(self, state, loader, key, epoch):
+        class SpyLoader:
+            def __len__(self):
+                return len(loader)
+
+            def __iter__(self):
+                for noisy, clean in loader:
+                    seen.append(
+                        (noisy.sharding, tuple(s.data.shape for s in noisy.addressable_shards))
+                    )
+                    yield noisy, clean
+
+        return orig(self, state, SpyLoader(), key, epoch)
+
+    monkeypatch.setattr(diff_mod.DiffusionTrainer, "train_epoch", spying_train_epoch)
+    monkeypatch.chdir(tmp_path)  # train() writes runs/ relative to cwd
+
+    args = diff_mod.build_arg_parser().parse_args([
+        "--dataset_choice", "DIV2K", "--data_root", str(tmp_path),
+        "--num_epochs", "1", "--batch_size", "8", "--num_workers", "2",
+        "--validation_split", "0.3333", "--dataset_percentage", "1.0",
+        "--base_filters", "4", "--timesteps", "2", "--augment",
+        "--output_dir", str(tmp_path / "ckpt"),
+    ])
+    diff_mod.train(args)
+
+    assert len(seen) == 2  # 16 train samples / batch 8
+    n_dev = len(jax.devices())
+    for sharding, shard_shapes in seen:
+        assert len(sharding.device_set) == n_dev, "batch must span the whole mesh"
+        assert set(shard_shapes) == {(8 // n_dev, 256, 256, 3)}
 
 
 def test_biased_timestep_sampling_distribution():

@@ -125,7 +125,15 @@ class PatchLoader:
         def to_device(host, step):
             batch = host
             if self.sharding is not None:
-                batch = tuple(jax.device_put(x, self.sharding) for x in batch)
+                sh = self.sharding
+                # a batch not divisible by the sharded axis (e.g. batch 4 on 8 chips)
+                # cannot be split; fall back to single-device placement for it
+                if batch and batch[0].shape[0] % sh.num_devices != 0:
+                    sh = None
+                batch = tuple(
+                    jax.device_put(x, sh) if sh is not None else jax.device_put(x)
+                    for x in batch
+                )
             if self.transform is not None:
                 k = jax.random.fold_in(epoch_key, step)
                 batch = self.transform(k, *batch)

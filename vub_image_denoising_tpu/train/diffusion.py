@@ -133,9 +133,14 @@ class DiffusionTrainer:
         self.unet = RDUNetT(base_filters=self.base_filters)
         self.diffusion = InterpolationDiffusion(timesteps=self.timesteps)
 
-    def init(self, key, sample_noisy, steps_per_epoch: int):
+    def ensure_mesh(self):
+        """Create the data-parallel mesh on first use (all local devices)."""
         if self.mesh is None:
             self.mesh = make_mesh()
+        return self.mesh
+
+    def init(self, key, sample_noisy, steps_per_epoch: int):
+        self.ensure_mesh()
         n = sample_noisy.shape[0]
         params = jax.jit(self.unet.init)(key, sample_noisy, jnp.zeros((n,)))
         self.tx = make_optimizer(
@@ -169,7 +174,7 @@ class DiffusionTrainer:
         return state
 
     def batch_sharding(self):
-        return shard_batch(self.mesh)
+        return shard_batch(self.ensure_mesh())
 
     def train_epoch(self, state, train_loader, key, epoch: int):
         losses = []
@@ -229,6 +234,9 @@ class DiffusionTrainer:
                 "optax_state": opt_np,
             },
         )
+        # native orbax sidecar: the full train state (params + optax state + step),
+        # atomic and layout-exact, for resume without the torch interop round-trip
+        ckpt_io.save_orbax(path + ".orbax", jax.device_get(state))
         return path
 
     def load_checkpoint(self, state, checkpoint_path: Optional[str]):
@@ -237,6 +245,17 @@ class DiffusionTrainer:
         if checkpoint_path is None or not os.path.isfile(checkpoint_path):
             print(f"No checkpoint found at '{checkpoint_path}'")
             return state, 0
+        sidecar = checkpoint_path + ".orbax"
+        if os.path.isdir(sidecar):
+            # exact resume from the native sidecar (full state, no torch round-trip)
+            import torch
+
+            restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
+            payload = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+            start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
+            state = put_replicated(restored, self.mesh)
+            print(f"Loaded orbax sidecar '{sidecar}' (epoch {start_epoch})")
+            return state, start_epoch
         params, payload = ckpt_io.load_pth(checkpoint_path, state.params, prefix="unet.")
         start_epoch = int(payload.get("epoch", 0)) if payload else 0
         opt_state = state.opt_state
@@ -353,7 +372,9 @@ def train(args, train_loader=None, val_loader=None):
         pass
 
     if train_loader is None or val_loader is None:
-        train_loader, val_loader = load_data_for(args)
+        # data-parallel infeed: batches land on the mesh already sharded on 'data',
+        # so the jitted step's gradient all-reduce rides ICI with no host gather
+        train_loader, val_loader = load_data_for(args, sharding=trainer.batch_sharding())
 
     sample = next(iter(val_loader))[0]
     state = trainer.init(jax.random.PRNGKey(0), sample, steps_per_epoch=len(train_loader))

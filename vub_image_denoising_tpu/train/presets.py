@@ -39,12 +39,13 @@ def main_diffusion_rdunet(image_folder: str, num_epochs: int = 300,
                           checkpoint_path: Optional[str] = None,
                           output_dir: str = "checkpoints", batch_size: int = 8):
     """main_diffusion_RDUnet.py config: Adam(2e-4) + cosine(T_max 10), base 32, T=20."""
-    train_loader, val_loader = load_folder_data(
-        image_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=1.0,
-    )
     trainer = DiffusionTrainer(
         base_filters=32, timesteps=20, optimizer_choice="adam",
         scheduler_choice="cosine", lr=2e-4, output_dir=output_dir,
+    )
+    train_loader, val_loader = load_folder_data(
+        image_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=1.0,
+        sharding=trainer.batch_sharding(),
     )
     return _run_diffusion(trainer, train_loader, val_loader, num_epochs, checkpoint_path)
 
@@ -53,12 +54,13 @@ def main_diffusion_rdunet_sidd(root_folder: str, num_epochs: int = 300,
                                checkpoint_path: Optional[str] = None,
                                output_dir: str = "checkpoints", batch_size: int = 8):
     """main_diffusion_RDUnet_SIDD.py config: SIDD pairs, dataset_percentage 0.1."""
-    train_loader, val_loader = load_sidd_data(
-        root_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=0.1,
-    )
     trainer = DiffusionTrainer(
         base_filters=32, timesteps=20, optimizer_choice="adam",
         scheduler_choice="cosine", lr=2e-4, output_dir=output_dir,
+    )
+    train_loader, val_loader = load_sidd_data(
+        root_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=0.1,
+        sharding=trainer.batch_sharding(),
     )
     return _run_diffusion(trainer, train_loader, val_loader, num_epochs, checkpoint_path)
 
@@ -67,12 +69,13 @@ def diffusion_rdunet_direct(image_folder: str, num_epochs: int = 300,
                             checkpoint_path: Optional[str] = None,
                             output_dir: str = "checkpoints", batch_size: int = 8):
     """diffusion_RDUnet_direct.py: single-call t=1 sampling ablation (:187-206)."""
-    train_loader, val_loader = load_folder_data(
-        image_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=1.0,
-    )
     trainer = DiffusionTrainer(
         base_filters=32, timesteps=20, optimizer_choice="adam",
         scheduler_choice="cosine", lr=2e-4, output_dir=output_dir, sampling="direct",
+    )
+    train_loader, val_loader = load_folder_data(
+        image_folder, batch_size=batch_size, use_rgb=True, dataset_percentage=1.0,
+        sharding=trainer.batch_sharding(),
     )
     return _run_diffusion(trainer, train_loader, val_loader, num_epochs, checkpoint_path)
 
@@ -81,13 +84,13 @@ def rdunet_supervised_main(image_folder: str, num_epochs: int = 21, batch_size: 
     """UNet/RDUNet_model.py __main__: RDUNet(128), DIV2K 10%, AdamW, 21 epochs."""
     from ..models.rdunet import RDUNet
 
-    train_loader, val_loader = load_folder_data(
-        image_folder, batch_size=batch_size, augment=False, dataset_percentage=0.1,
-        use_rgb=True,
-    )
     trainer = SupervisedTrainer(
         RDUNet(channels=3, base_filters=128), lr=1e-4, weight_decay=1e-5,
         accumulation_steps=4, checkpoint_every=5,
+    )
+    train_loader, val_loader = load_folder_data(
+        image_folder, batch_size=batch_size, augment=False, dataset_percentage=0.1,
+        use_rgb=True, sharding=trainer.batch_sharding(),
     )
     sample = next(iter(val_loader))[0]
     state = trainer.init(jax.random.PRNGKey(0), sample, steps_per_epoch=len(train_loader))

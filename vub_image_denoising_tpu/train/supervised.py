@@ -103,9 +103,14 @@ class SupervisedTrainer:
     mesh: Any = None
     writer: Any = None
 
-    def init(self, key, sample_noisy, steps_per_epoch: int):
+    def ensure_mesh(self):
+        """Create the data-parallel mesh on first use (all local devices)."""
         if self.mesh is None:
             self.mesh = make_mesh()
+        return self.mesh
+
+    def init(self, key, sample_noisy, steps_per_epoch: int):
+        self.ensure_mesh()
         params = jax.jit(self.model.init)(key, sample_noisy)
         self.tx = make_optimizer(
             "adamw",
@@ -127,7 +132,7 @@ class SupervisedTrainer:
         return state
 
     def batch_sharding(self):
-        return shard_batch(self.mesh)
+        return shard_batch(self.ensure_mesh())
 
     def train_epoch(self, state, train_loader, epoch: int, log_every: int = 1):
         losses = []
@@ -158,8 +163,28 @@ class SupervisedTrainer:
                 extra={"epoch": epoch + 1, "optimizer_state_dict": {},
                        "optax_state": opt_np},
             )
+            # native orbax sidecar: full train state for exact resume
+            ckpt_io.save_orbax(path + ".orbax", jax.device_get(state))
             return path
         return None
+
+    def load_checkpoint(self, state, checkpoint_path):
+        """Resume from a checkpoint written by maybe_checkpoint: the orbax sidecar when
+        present (exact: params + optax state + step), else the .pth params."""
+        if checkpoint_path is None or not os.path.isfile(checkpoint_path):
+            return state, 0
+        sidecar = checkpoint_path + ".orbax"
+        if os.path.isdir(sidecar):
+            import torch
+
+            restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
+            payload = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+            epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
+            return put_replicated(restored, self.mesh), epoch
+        params, payload = ckpt_io.load_pth(checkpoint_path, state.params)
+        epoch = int(payload.get("epoch", 0)) if payload else 0
+        state = TrainState(params=params, opt_state=state.opt_state, step=state.step)
+        return put_replicated(state, self.mesh), epoch
 
     def log_image_grids(self, state, loader, epoch: int):
         """Per-epoch clean/noisy/denoised grids on one batch (RDUNet_model.py:228-244)."""
