@@ -1,12 +1,18 @@
 """Benchmark: RDUNet denoise throughput (megapixels/sec/chip) on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the driver-set north star of 500 MP/s/chip (BASELINE.md; the reference
-publishes no numbers — it is a single-GPU PyTorch research repo with no benchmarks).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
+Baseline: the driver-set north star of 500 MP/s/chip (BASELINE.md) — note that
+number exceeds this chip's physics: the PRACTICAL bf16 matmul peak measured on this
+v5e via the axon runtime is ~127 TFLOP/s (scripts/profile_xla_opts.py), putting the
+100%-MXU ceiling for this architecture (~1.45 MFLOP/px) at ~87 MP/s/chip.
 
 Measures the steady-state inference throughput of the supervised RDUNet denoiser
 (reference flagship, UNet/RDUNet_model.py:117-186) at the reference's working size:
-256x256 patches (custom_dataset.py:49), bf16 activations, batched.
+256x256 patches (custom_dataset.py:49), bf16 activations, batched.  Two engines are
+timed and the best wins: the flax/XLA forward and the optimized XLA engine
+(models/fused_apply.py: VALID-stride downsamples, split-concat upsample convs).
+Set BENCH_FUSED=1 to also time the Pallas fused-block engine (the small-batch
+latency path; loses at the saturating batch).
 """
 
 import json
@@ -16,66 +22,69 @@ import time
 import jax
 import jax.numpy as jnp
 
+NOMINAL_PEAK = 197e12  # v5e bf16 spec sheet
+PRACTICAL_PEAK = 127e12  # measured 8192^3 bf16 matmul on this chip/runtime
+
 
 def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=None):
     """Steady-state RDUNet denoise throughput.
 
-    ``fused`` selects the Pallas fused-block inference engine
-    (models/fused_apply.py); default tries fused and falls back to the XLA path.
     Timing forces completion with a device_get of one output element (on this
     runtime block_until_ready alone does not guarantee execution finished).
+    Returns (mp_per_s, flops_per_px, best_engine).
     """
-    from vub_image_denoising_tpu.models import RDUNet
+    from vub_image_denoising_tpu.models import RDUNet, rdunet_apply_fused
 
     model = RDUNet(channels=3, base_filters=base_filters)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.bfloat16) * 2 - 1
     params = jax.jit(model.init)(key, jnp.zeros((1, size, size, 3)))
 
-    def build_fused():
-        from vub_image_denoising_tpu.models.fused_apply import (
-            prepare_fused_params,
-            rdunet_apply_fused,
-        )
-
-        padded = prepare_fused_params(params)
-        return jax.jit(lambda v, x: rdunet_apply_fused(v, x)), padded
-
-    # XLA wins at the saturating batch (the Pallas engine wins small-batch
-    # latency — see BASELINE.md); default to XLA only so the bench isn't
-    # dominated by multi-minute remote Mosaic compiles.
     if fused is None:
         fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    candidates = ["fused", "xla"] if fused else ["xla"]
+    candidates = [
+        ("xla-opt", jax.jit(lambda v, xx: rdunet_apply_fused(v, xx, engine="xla"))),
+        ("flax", jax.jit(model.apply)),
+    ]
+    if fused:
+        candidates.insert(
+            0, ("pallas", jax.jit(lambda v, xx: rdunet_apply_fused(v, xx, engine="pallas")))
+        )
 
-    best = 0.0
-    for kind in candidates:
+    # analytic-ish FLOPs from XLA's own cost model of the flax forward
+    try:
+        cost = jax.jit(model.apply).lower(params, x).compile().cost_analysis()
+        flops_per_px = float(cost["flops"]) / (batch * size * size)
+    except Exception:
+        flops_per_px = 1.45e6  # analytic estimate for base 32
+
+    best, best_engine = 0.0, "none"
+    for kind, fwd in candidates:
         try:
-            if kind == "fused":
-                fwd, p = build_fused()
-            else:
-                fwd, p = jax.jit(model.apply), params
             for _ in range(warmup):
-                _ = jax.device_get(fwd(p, x)[0, 0, 0, 0])
+                _ = jax.device_get(fwd(params, x)[0, 0, 0, 0])
             t0 = time.perf_counter()
             for _ in range(iters):
-                y = fwd(p, x)
+                y = fwd(params, x)
             _ = jax.device_get(y[0, 0, 0, 0])
             dt = time.perf_counter() - t0
-            best = max(best, batch * size * size * iters / 1e6 / dt)
+            mp = batch * size * size * iters / 1e6 / dt
+            if mp > best:
+                best, best_engine = mp, kind
         except Exception as e:
             print(f"# {kind} path failed: {type(e).__name__}", flush=True)
-    return best
+    return best, flops_per_px, best_engine
 
 
 def main():
-    value = bench_rdunet(
+    value, flops_per_px, engine = bench_rdunet(
         base_filters=int(os.environ.get("BENCH_BASE_FILTERS", 32)),
         # batch 128 amortizes this runtime's fixed per-op dispatch overhead
-        # (throughput saturates at ~batch 128 on v5e)
+        # (throughput saturates at ~batch 128 on v5e; 192 regresses)
         batch=int(os.environ.get("BENCH_BATCH", 128)),
     )
     baseline = 500.0
+    achieved_flops = value * 1e6 * flops_per_px
     print(
         json.dumps(
             {
@@ -83,6 +92,9 @@ def main():
                 "value": round(value, 2),
                 "unit": "megapixels/sec/chip",
                 "vs_baseline": round(value / baseline, 4),
+                "mfu": round(achieved_flops / NOMINAL_PEAK, 4),
+                "mfu_practical": round(achieved_flops / PRACTICAL_PEAK, 4),
+                "engine": engine,
             }
         )
     )

@@ -25,6 +25,17 @@ def test_rdunet_fused_matches_flax():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_rdunet_xla_engine_matches_flax():
+    """The optimized-XLA engine (VALID-s2 downs, split-concat ups) — the default
+    throughput path on hardware — must match the flax forward exactly."""
+    model = RDUNet(channels=3, base_filters=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(model.apply(variables, x))
+    got = np.asarray(rdunet_apply_fused(variables, x, engine="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_rdunet_t_fused_matches_flax():
     model = RDUNetT(base_filters=8)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
@@ -51,6 +62,65 @@ def test_channel_padded_block_matches_unpadded():
     np.testing.assert_allclose(got[..., :cin], want, rtol=2e-5, atol=2e-5)
     # padded lanes stay exactly zero (residual carries the zero pad through)
     np.testing.assert_array_equal(got[..., cin:], 0.0)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_fused_block_trainable_grads_match_xla(packed):
+    """custom-VJP fused block: forward == Pallas (interpret), grads == XLA path."""
+    from vub_image_denoising_tpu.models.fused_apply import (
+        _dense_block_xla,
+        fused_block_trainable,
+    )
+
+    block = DenoisingBlock(8, 4, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8))
+    params = block.init(jax.random.PRNGKey(2), x)["params"]
+
+    def loss_fused(p, xx):
+        out = fused_block_trainable(xx, p, None, True, packed)
+        return jnp.mean(jnp.abs(out - y))
+
+    def loss_xla(p, xx):
+        return jnp.mean(jnp.abs(_dense_block_xla(p, xx) - y))
+
+    lf, (gp_f, gx_f) = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, x)
+    lx, (gp_x, gx_x) = jax.value_and_grad(loss_xla, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((gp_f, gx_f)),
+                    jax.tree_util.tree_leaves((gp_x, gx_x))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_supervised_step_with_fused_forward():
+    """make_supervised_train_step over the fused-trainable forward runs and matches
+    the XLA-path step to tolerance (VERDICT r1 #4)."""
+    import optax
+
+    from vub_image_denoising_tpu.models.fused_apply import fused_block_trainable
+    from vub_image_denoising_tpu.train import TrainState, make_supervised_train_step
+
+    block = DenoisingBlock(8, 4, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 8))
+    params = block.init(jax.random.PRNGKey(2), x)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
+
+    def apply_fused(p, xx):
+        return fused_block_trainable(xx, p["params"], None, True, False)
+
+    def apply_xla(p, xx):
+        return block.apply(p, xx)
+
+    step_f = make_supervised_train_step(apply_fused, tx, accumulation_steps=2)
+    step_x = make_supervised_train_step(apply_xla, tx, accumulation_steps=2)
+    sf, lf = step_f(TrainState.create(params, tx), x, y)
+    sx, lx = step_x(TrainState.create(params, tx), x, y)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sf.params),
+                    jax.tree_util.tree_leaves(sx.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 def test_prepare_fused_params_identity():

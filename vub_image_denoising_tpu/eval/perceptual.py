@@ -197,6 +197,45 @@ def load_lpips_torch(params_template, path: Optional[str] = None):
     return tree
 
 
+def load_dists_torch(params_template, path: Optional[str] = None,
+                     vgg16_path: Optional[str] = None):
+    """Fill DISTS params from the DISTS_pytorch weights.pt (alpha/beta) and a
+    torchvision-format vgg16 state_dict for the backbone.
+
+    DISTS_pytorch's checkpoint holds only ``alpha``/``beta`` of shape
+    (1, sum(stage_channels), 1, 1); the VGG16 features come from torchvision.
+    Returns None if no weights file is available.
+    """
+    path = path or os.environ.get("DISTS_WEIGHTS")
+    if not path or not os.path.isfile(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    tree = jax.tree_util.tree_map(lambda x: x, params_template)  # copy
+    p = tree["params"]
+    for name in ("alpha", "beta"):
+        flat = np.asarray(sd[name]).reshape(-1)
+        start = 0
+        for i, c in enumerate(_DISTS_CHANNELS):
+            p[f"{name}{i}"] = jnp.asarray(flat[start : start + c])
+            start += c
+    vgg16_path = vgg16_path or os.environ.get("VGG16_WEIGHTS")
+    if vgg16_path and os.path.isfile(vgg16_path):
+        vsd = torch.load(vgg16_path, map_location="cpu", weights_only=False)
+        if "state_dict" in vsd:
+            vsd = vsd["state_dict"]
+        conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        for i, ti in enumerate(conv_ids):
+            w = np.asarray(vsd[f"features.{ti}.weight"])  # OIHW
+            b = np.asarray(vsd[f"features.{ti}.bias"])
+            p["backbone"][f"conv{i}"] = {
+                "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(b),
+            }
+    return tree
+
+
 def make_lpips(key=None, weights_path: Optional[str] = None):
     """Returns (apply_fn(x, y) -> (N,), params).  x/y NHWC in [-1,1]."""
     model = LPIPS()
@@ -215,5 +254,8 @@ def make_dists(key=None, weights_path: Optional[str] = None):
     key = key if key is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 64, 3))
     params = model.init(key, dummy, dummy)
+    loaded = load_dists_torch(params, weights_path)
+    if loaded is not None:
+        params = loaded
     fn = jax.jit(lambda a, b: model.apply(params, a, b))
     return fn, params

@@ -90,32 +90,65 @@ def evaluate_sidd(
             ssim_ref_per_image(gt_b, out_b, data_range=2.0),
         )
 
-    psnrs, ssims, times = [], [], []
-    samples = []
-    for start in range(0, len(idx), batch_size):
-        sel = idx[start : start + batch_size]
+    batches = [idx[s : s + batch_size] for s in range(0, len(idx), batch_size)]
+
+    def make_inputs(sel):
         noisy_u8 = np.stack([blocks[int(i)][0] for i in sel])
         gt_u8 = np.stack([blocks[int(i)][1] for i in sel])
-        noisy = _normalize_blocks(noisy_u8)
-        gt = _normalize_blocks(gt_u8)
+        return _normalize_blocks(noisy_u8), _normalize_blocks(gt_u8)
 
-        t0 = time.perf_counter()
+    # Pipelined loop: batch k+1's host fetch + H2D transfer is dispatched before
+    # blocking on batch k's compute (dispatch is async), overlapping the tunnel
+    # transfer with the sampler — the per-block wall time the reference measures
+    # (evaluate_SIDD.py:55-57) is otherwise transfer-dominated on this runtime.
+    # All syncs happen once at the end.
+    psnrs, ssims = [], []
+    pending = []
+    first_inputs = None
+    t_loop0 = time.perf_counter()
+    inputs = make_inputs(batches[0]) if batches else None
+    for k, sel in enumerate(batches):
+        if k == 0:
+            first_inputs = inputs
+        nxt = make_inputs(batches[k + 1]) if k + 1 < len(batches) else None
+        noisy, gt = inputs
         out = sampler(noisy)
-        out.block_until_ready()
-        dt_ms = (time.perf_counter() - t0) * 1000.0 / len(sel)
-
         p_vec, s_vec = batch_metrics(gt, out)
+        pending.append((p_vec, s_vec, noisy, gt, out, len(sel)))
+        inputs = nxt
+    # force completion of everything (block_until_ready can return early on this
+    # runtime; device_get is authoritative)
+    pending = [
+        (jax.device_get(p), jax.device_get(s), noisy, gt, out, cnt)
+        for (p, s, noisy, gt, out, cnt) in pending
+    ]
+    wall_ms = (time.perf_counter() - t_loop0) * 1000.0
+
+    samples = []
+    n_eval = 0
+    for p_vec, s_vec, noisy, gt, out, cnt in pending:
         psnrs.extend(np.asarray(p_vec, np.float64).tolist())
         ssims.extend(np.asarray(s_vec, np.float64).tolist())
-        times.extend([dt_ms] * len(sel))
+        n_eval += cnt
         if sample_plot_path and len(samples) < n_samples:
-            for k in range(min(len(sel), n_samples - len(samples))):
+            for k in range(min(cnt, n_samples - len(samples))):
                 samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
+
+    # steady-state on-device latency, transfers excluded (device-resident input,
+    # completion forced via device_get)
+    device_ms = float("nan")
+    if first_inputs is not None:
+        noisy0 = first_inputs[0]
+        _ = jax.device_get(sampler(noisy0)[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        _ = jax.device_get(sampler(noisy0)[0, 0, 0, 0])
+        device_ms = (time.perf_counter() - t0) * 1000.0 / noisy0.shape[0]
 
     results = {
         "avg_psnr": float(np.mean(psnrs)),
         "avg_ssim": float(np.mean(ssims)),
-        "avg_inference_time_ms": float(np.mean(times)),
+        "avg_inference_time_ms": wall_ms / max(1, n_eval),
+        "device_inference_time_ms": device_ms,
         "n_blocks": len(psnrs),
     }
     if csv_path:

@@ -12,12 +12,19 @@ Training keeps the flax path (the fused kernel defines no custom VJP yet); numer
 parity between the two paths is tested in tests/test_fused_apply.py.
 """
 
+import functools
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.fused_block import fused_denoising_block, pad_block_params
+from ..ops.fused_block import (
+    fused_denoising_block,
+    fused_denoising_block_packed,
+    pack_block_params_packed,
+    pad_block_params,
+)
+from ..ops.packing import pack2x2, unpack2x2
 
 _DENSE_BLOCKS = [
     "block_0_0", "block_0_1", "block_1_0", "block_1_1", "block_2_0", "block_2_1",
@@ -62,13 +69,13 @@ def _output_block(p, x):
 
 
 def _down(p, x):
-    n, h, w, cin = x.shape
-    k = p["conv"]["kernel"]
-    cout = k.shape[-1]
-    xs = x.reshape(n, h // 2, 2, w // 2, 2, cin)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * cin)
-    y = xs @ k.reshape(4 * cin, cout).astype(x.dtype) + p["conv"]["bias"].astype(x.dtype)
-    return _prelu(y, p["actv"]["alpha"])
+    # k2s2 conv via lax VALID stride-2: measured fastest on v5e (1.12x vs the flax
+    # SAME-stride form, 1.2x vs reshape+matmul — scripts/profile_glue.py)
+    y = jax.lax.conv_general_dilated(
+        x, p["conv"]["kernel"].astype(x.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return _prelu(y + p["conv"]["bias"].astype(x.dtype), p["actv"]["alpha"])
 
 
 def _up(p, upsample, concat):
@@ -80,8 +87,17 @@ def _up(p, upsample, concat):
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
     y = y + p["conv_t"]["bias"].astype(upsample.dtype)
     y = _prelu(y, p["actv_t"]["alpha"])
-    cat = jnp.concatenate([concat, y], axis=-1)
-    return _prelu(_conv3x3(cat, p["conv"]), p["actv"]["alpha"])
+    # split the concat conv: conv(cat[skip, y]) == conv_a(skip) + conv_b(y) — skips
+    # materializing the widest full-res tensor of the model (1.11x, profile_glue.py)
+    wc = p["conv"]["kernel"].astype(y.dtype)
+    c_skip = concat.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+    ya = jax.lax.conv_general_dilated(concat, wc[:, :, :c_skip], (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    yb = jax.lax.conv_general_dilated(y, wc[:, :, c_skip:], (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    out = ya + yb + p["conv"]["bias"].astype(y.dtype)
+    return _prelu(out, p["actv"]["alpha"])
 
 
 def _dense_block_xla(params, x):
@@ -96,22 +112,76 @@ def _dense_block_xla(params, x):
     return out3 + x
 
 
-def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False):
+def _fused_block_semantic(x, params, tile_rows=None, interpret=False, packed=False):
+    """One DenoisingBlock on unpacked NHWC x via the chosen Pallas kernel."""
+    if packed:
+        pq = pack_block_params_packed(params)
+        return unpack2x2(
+            fused_denoising_block_packed(pack2x2(x), pq, tile_rows=tile_rows,
+                                         interpret=interpret)
+        )
+    return fused_denoising_block(x, params, tile_rows=tile_rows, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_block_trainable(x, params, tile_rows=None, interpret=False, packed=False):
+    """Differentiable fused DenoisingBlock: Pallas forward, XLA-VJP backward.
+
+    The backward recomputes the XLA-path block and pulls gradients through it
+    (rematerialization-style — pallas_call has no autodiff).  Both paths compute
+    the same math, so grads match the pure-XLA step to compute-dtype tolerance
+    (tests/test_fused_apply.py).  Lets the trainers opt into the fused forward.
+    """
+    return _fused_block_semantic(x, params, tile_rows, interpret, packed)
+
+
+def _fused_block_fwd(x, params, tile_rows, interpret, packed):
+    return _fused_block_semantic(x, params, tile_rows, interpret, packed), (x, params)
+
+
+def _fused_block_bwd(tile_rows, interpret, packed, res, g):
+    x, params = res
+    _, vjp = jax.vjp(lambda xx, pp: _dense_block_xla(pp, xx), x, params)
+    dx, dparams = vjp(g)
+    return dx, dparams
+
+
+fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
+          trainable=False):
     def dense_pair(name_a, name_b, h):
-        """Two dense blocks; Pallas-fused when the channel count is already a
-        128-lane multiple (no padding waste) AND the block's weights fit in VMEM
-        alongside the activations (the kernel keeps all four convs' weights
-        resident; streaming them is future work).  Measured on v5e: fused wins at
-        c>=128, while channel padding at c=32/64 more than triples the kernel's
-        FLOPs, so those scales keep the XLA path."""
+        """Two dense blocks.  Engine choice (measured on v5e, scripts/bench_fused_block
+        + profile_xla_opts):
+        - 'xla': XLA convs.  At the saturating batch XLA's conv emitters run at
+          50-125 TFLOP/s per scale — at/near this chip's PRACTICAL matmul peak
+          (~127 TFLOP/s, not the 197 nominal) for the wide scales — and beat every
+          hand-written Mosaic variant.  This is the throughput path.
+        - 'pallas': the fused mega-kernel where the DMA lane rule allows it
+          (c % 128 == 0 and weights resident in VMEM).  Wins in the SMALL-BATCH
+          latency regime (fewer dispatches, no HBM round-trips): the SIDD sampler
+          at batch 8 measured ~10% faster end-to-end.
+        - 'auto': pallas when the per-call pixel count is in the latency regime,
+          xla otherwise."""
         c = h.shape[-1]
         inner = p[name_a]["conv_0"]["kernel"].shape[-1]
         ktots = [c, c + inner, c + 2 * inner, c + 3 * inner]
         weight_bytes = sum(9 * kt * (inner if i < 3 else c) * 2
                            for i, kt in enumerate(ktots))
-        use_fused = interpret or (c % 128 == 0 and weight_bytes <= (4 << 20))
+        if engine == "auto":
+            latency_regime = x.shape[0] * x.shape[1] * x.shape[2] <= (1 << 21)
+            eng = "pallas" if latency_regime else "xla"
+        else:
+            eng = engine
+        use_fused = interpret or (
+            eng == "pallas" and c % 128 == 0 and weight_bytes <= (4 << 20)
+        )
         if not use_fused:
             return _dense_block_xla(p[name_b], _dense_block_xla(p[name_a], h))
+        if trainable:
+            h = fused_block_trainable(h, p[name_a], tile_rows, interpret, False)
+            return fused_block_trainable(h, p[name_b], tile_rows, interpret, False)
         h = fused_denoising_block(h, p[name_a], tile_rows=tile_rows, interpret=interpret)
         h = fused_denoising_block(h, p[name_b], tile_rows=tile_rows, interpret=interpret)
         return h
@@ -140,13 +210,19 @@ def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False):
     return _output_block(p["output_block"], out6)
 
 
-def rdunet_apply_fused(variables, x, tile_rows=None, interpret=False):
-    """Drop-in replacement for RDUNet.apply on the same variables pytree."""
+def rdunet_apply_fused(variables, x, tile_rows=None, interpret=False, engine="auto",
+                       trainable=False):
+    """Drop-in replacement for RDUNet.apply on the same variables pytree.
+
+    ``trainable=True`` routes fused blocks through the custom-VJP wrapper so the
+    whole forward is differentiable (backward = XLA-path VJP); pass as the
+    trainer's ``apply_fn`` to train with the fused forward.
+    """
     p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
-    return _core(p, x, tile_rows, interpret) + x
+    return _core(p, x, tile_rows, interpret, engine, trainable) + x
 
 
-def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False):
+def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False, engine="auto"):
     """Drop-in replacement for RDUNetT.apply (time-conditioned)."""
     p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
     n, h, w, _ = x.shape
@@ -156,4 +232,4 @@ def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False):
     else:
         t_plane = jnp.broadcast_to(t.astype(x.dtype), (n, h, w, 1))
     xt = jnp.concatenate([x, t_plane], axis=-1)
-    return _core(p, xt, tile_rows, interpret) + x
+    return _core(p, xt, tile_rows, interpret, engine) + x

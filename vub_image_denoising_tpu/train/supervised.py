@@ -102,6 +102,9 @@ class SupervisedTrainer:
     compute_dtype: Any = jnp.float32
     mesh: Any = None
     writer: Any = None
+    # optional forward override, e.g. the differentiable fused engine:
+    #   functools.partial(rdunet_apply_fused, engine="pallas", trainable=True)
+    apply_fn: Optional[Callable] = None
 
     def ensure_mesh(self):
         """Create the data-parallel mesh on first use (all local devices)."""
@@ -122,12 +125,13 @@ class SupervisedTrainer:
         )
         state = TrainState.create(params, self.tx)
         state = put_replicated(state, self.mesh)
+        apply = self.apply_fn if self.apply_fn is not None else self.model.apply
         step = make_supervised_train_step(
-            self.model.apply, self.tx, self.accumulation_steps, compute_dtype=self.compute_dtype
+            apply, self.tx, self.accumulation_steps, compute_dtype=self.compute_dtype
         )
         self._jit_step = jax.jit(step, donate_argnums=(0,))
         self._jit_eval = jax.jit(
-            lambda params, noisy: self.model.apply(params, noisy.astype(self.compute_dtype))
+            lambda params, noisy: apply(params, noisy.astype(self.compute_dtype))
         )
         return state
 
