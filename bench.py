@@ -40,6 +40,17 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.bfloat16) * 2 - 1
     params = jax.jit(model.init)(key, jnp.zeros((1, size, size, 3)))
 
+    if os.environ.get("BENCH_DP", "0") == "1" and len(jax.devices()) > 1:
+        # data-parallel: batch sharded over the mesh, params replicated — the
+        # multi-chip path (per-chip MP/s = value / n_devices on a slice)
+        from vub_image_denoising_tpu.parallel.mesh import (
+            make_mesh, put_replicated, shard_batch,
+        )
+
+        mesh = make_mesh()
+        x = jax.device_put(x, shard_batch(mesh))
+        params = put_replicated(params, mesh)
+
     if fused is None:
         fused = os.environ.get("BENCH_FUSED", "0") == "1"
     candidates = [
@@ -76,7 +87,38 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
     return best, flops_per_px, best_engine
 
 
+def check_fused_parity():
+    """On-hardware numerical parity of the Pallas engines vs the XLA path.
+
+    CI covers the kernels in interpret mode only (remote Mosaic compiles are
+    minutes-slow); this mode gives the driver/user a quick real-TPU check.
+    Prints one JSON line with the max relative errors; exit code 1 on failure.
+    """
+    from vub_image_denoising_tpu.models import RDUNet, rdunet_apply_fused
+
+    model = RDUNet(channels=3, base_filters=32)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 64, 64, 3), jnp.bfloat16) * 2 - 1
+    params = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 3)))
+
+    ref = jax.device_get(jax.jit(model.apply)(params, x)).astype("float32")
+    scale = float(abs(ref).max()) + 1e-9
+    errs = {}
+    for engine in ("xla", "pallas"):
+        out = jax.device_get(
+            jax.jit(lambda v, xx, e=engine: rdunet_apply_fused(v, xx, engine=e))(params, x)
+        ).astype("float32")
+        errs[engine] = float(abs(out - ref).max()) / scale
+    ok = errs["xla"] < 1e-2 and errs["pallas"] < 2e-2  # bf16 compute budget
+    print(json.dumps({"metric": "fused_parity_check", "rel_err": errs, "ok": ok}))
+    return 0 if ok else 1
+
+
 def main():
+    import sys
+
+    if "--check" in sys.argv:
+        raise SystemExit(check_fused_parity())
     value, flops_per_px, engine = bench_rdunet(
         base_filters=int(os.environ.get("BENCH_BASE_FILTERS", 32)),
         # batch 128 amortizes this runtime's fixed per-op dispatch overhead

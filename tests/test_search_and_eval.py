@@ -43,6 +43,44 @@ def test_fallback_study_pruning():
     assert any(t.state == "PRUNED" for t in study.trials)
 
 
+def test_fallback_tpe_beats_random_on_quadratic():
+    """After the startup phase, the TPE sampler must concentrate near the optimum:
+    the best-of-50 TPE result should beat a pure-random best-of-50 on average."""
+    import math
+    import random as pyrandom
+
+    def run_tpe(seed):
+        study = create_study(direction="minimize", seed=seed, prefer_optuna=False)
+        study.optimize(lambda t: (t.suggest_float("x", -10, 10) - 3.0) ** 2, n_trials=50)
+        return study.best_value
+
+    def run_random(seed):
+        rng = pyrandom.Random(seed)
+        return min((rng.uniform(-10, 10) - 3.0) ** 2 for _ in range(50))
+
+    tpe = np.mean([run_tpe(s) for s in range(5)])
+    rnd = np.mean([run_random(s) for s in range(5)])
+    assert tpe < rnd, f"TPE mean best {tpe} should beat random {rnd}"
+    assert tpe < 0.05  # concentrates near x=3
+
+
+def test_fallback_tpe_log_and_categorical():
+    """TPE on a log-scale float + categorical converges to the good region."""
+    study = create_study(direction="minimize", seed=7, prefer_optuna=False)
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+        opt = trial.suggest_categorical("opt", ["adam", "adamw", "sgd"])
+        return abs(np.log10(lr) + 3.0) + (0.0 if opt == "adamw" else 0.5)
+
+    study.optimize(objective, n_trials=80)
+    assert study.best_value < 0.4
+    assert study.best_params["opt"] == "adamw"
+    # late trials should be concentrated (TPE working), not uniform
+    late = [t.params["lr"] for t in study.trials[40:] if t.state == "COMPLETE"]
+    assert np.median(np.abs(np.log10(late) + 3.0)) < 1.0
+
+
 def test_suggest_int_step_matches_reference_space():
     study = create_study(direction="minimize", seed=1, prefer_optuna=False)
     seen = set()

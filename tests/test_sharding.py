@@ -69,6 +69,24 @@ def test_batch_sharding_layout():
     assert xs.addressable_shards[0].data.shape == (2, 8, 8, 3)
 
 
+def test_patch_loader_sharding_fallback_on_indivisible_batch():
+    """A batch that doesn't divide the mesh's data axis (e.g. 6 on 8 devices) must
+    still load — the loader falls back to unsharded placement for it."""
+    import numpy as np
+
+    from vub_image_denoising_tpu.data import ArrayPatchDataset, PatchLoader
+
+    n = 6  # not divisible by 8
+    data = np.random.RandomState(0).randint(0, 255, (n, 8, 8, 3), np.uint8)
+    ds = ArrayPatchDataset(data, data)
+    mesh = make_mesh()
+    loader = PatchLoader(ds, batch_size=n, sharding=shard_batch(mesh),
+                         num_workers=1, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0][0].shape[0] == n  # loaded despite the indivisible batch
+
+
 def test_replicated_params():
     mesh = make_mesh()
     tree = {"w": jnp.ones((4, 4))}

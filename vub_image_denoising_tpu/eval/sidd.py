@@ -56,6 +56,9 @@ class SIDDMatBlocks:
 
 
 def _normalize_blocks(blocks_u8):
+    # NOTE: measured on the axon tunnel, a device_put(uint8) + jitted normalize is
+    # SLOWER than this one-shot f32 path — the tunnel is roundtrip-latency-bound,
+    # so fewer dispatches beat 4x fewer bytes
     return (jnp.asarray(blocks_u8, jnp.float32) / 255.0 - 0.5) / 0.5
 
 

@@ -34,11 +34,13 @@ BENCHMARK_URL = (
 
 
 def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 20,
-                 bf16: bool = False, fused: bool = False):
+                 bf16: bool = False, fused: bool = False, engine: str = "auto"):
     """Build the jitted improved-sampling function from a .pth diffusion checkpoint.
 
-    ``fused`` routes the U-Net through the Pallas fused-block engine
-    (models/fused_apply.py) — the small-batch latency path."""
+    ``engine``: 'flax' (reference-exact conv order — the strict-f32 parity path),
+    'xla' (optimized XLA engine: fastest throughput), 'pallas' (fused Pallas
+    blocks: small-batch latency), or 'auto' (xla under bf16, flax under strict
+    f32).  ``fused=True`` is back-compat for engine='pallas'."""
     unet = RDUNetT(base_filters=base_filters)
     dummy = jnp.zeros((1, 64, 64, 3))
     params = jax.eval_shape(unet.init, jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))
@@ -52,11 +54,15 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
         enable_strict_precision()  # exact-f32 parity path
 
     if fused:
+        engine = "pallas"
+    if engine == "auto":
+        engine = "xla" if bf16 else "flax"
+    if engine == "flax":
+        apply_fn = unet.apply
+    else:
         from ..models.fused_apply import rdunet_t_apply_fused
 
-        apply_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t)
-    else:
-        apply_fn = unet.apply
+        apply_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t, engine=engine)
 
     @jax.jit
     def sampler(noisy):
@@ -69,7 +75,8 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
 def main_validate(args):
     blocks = SIDDMatBlocks(args.noisy_mat, args.gt_mat)
     sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
-                           args.bf16, getattr(args, "fused", False))
+                           args.bf16, getattr(args, "fused", False),
+                           getattr(args, "engine", "auto"))
     results = evaluate_sidd(
         sampler, blocks, evaluation_percentage=args.evaluation_percentage,
         batch_size=args.batch_size, seed=args.seed, csv_path=args.csv,
@@ -77,6 +84,7 @@ def main_validate(args):
     print(f"Average PSNR: {results['avg_psnr']:.2f}")
     print(f"Average SSIM: {results['avg_ssim']:.4f}")
     print(f"Average Inference Time: {results['avg_inference_time_ms']:.2f} ms")
+    print(f"On-device Inference Time: {results['device_inference_time_ms']:.2f} ms")
     return results
 
 
@@ -112,6 +120,7 @@ def main(argv=None):
     v.add_argument("--bf16", action="store_true")
     v.add_argument("--fused", action="store_true",
                    help="use the Pallas fused-block engine (small-batch latency path)")
+    v.add_argument("--engine", default="auto", choices=["auto", "flax", "xla", "pallas"])
 
     b = sub.add_parser("benchmark")
     b.add_argument("--checkpoint", required=True)

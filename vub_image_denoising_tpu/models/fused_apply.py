@@ -150,7 +150,8 @@ fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
 def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
-          trainable=False):
+          trainable=False, remat=False):
+    block_xla = jax.checkpoint(_dense_block_xla) if remat else _dense_block_xla
     def dense_pair(name_a, name_b, h):
         """Two dense blocks.  Engine choice (measured on v5e, scripts/bench_fused_block
         + profile_xla_opts):
@@ -178,7 +179,7 @@ def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
             eng == "pallas" and c % 128 == 0 and weight_bytes <= (4 << 20)
         )
         if not use_fused:
-            return _dense_block_xla(p[name_b], _dense_block_xla(p[name_a], h))
+            return block_xla(p[name_b], block_xla(p[name_a], h))
         if trainable:
             h = fused_block_trainable(h, p[name_a], tile_rows, interpret, False)
             return fused_block_trainable(h, p[name_b], tile_rows, interpret, False)
@@ -211,19 +212,25 @@ def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
 
 
 def rdunet_apply_fused(variables, x, tile_rows=None, interpret=False, engine="auto",
-                       trainable=False):
+                       trainable=False, remat=False):
     """Drop-in replacement for RDUNet.apply on the same variables pytree.
 
     ``trainable=True`` routes fused blocks through the custom-VJP wrapper so the
     whole forward is differentiable (backward = XLA-path VJP); pass as the
-    trainer's ``apply_fn`` to train with the fused forward.
+    trainer's ``apply_fn`` to train with the fused forward.  ``remat=True``
+    rematerializes the XLA dense blocks in backward (HBM relief).
     """
     p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
-    return _core(p, x, tile_rows, interpret, engine, trainable) + x
+    return _core(p, x, tile_rows, interpret, engine, trainable, remat) + x
 
 
-def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False, engine="auto"):
-    """Drop-in replacement for RDUNetT.apply (time-conditioned)."""
+def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False, engine="auto",
+                         trainable=False, remat=False):
+    """Drop-in replacement for RDUNetT.apply (time-conditioned).
+
+    engine='xla' is natively differentiable (plain XLA ops); engine='pallas' needs
+    ``trainable=True`` to route blocks through the custom-VJP wrapper.
+    """
     p = variables["params"]["core"] if "core" in variables.get("params", {}) else variables["core"]
     n, h, w, _ = x.shape
     t = jnp.asarray(t, x.dtype)
@@ -232,4 +239,4 @@ def rdunet_t_apply_fused(variables, x, t, tile_rows=None, interpret=False, engin
     else:
         t_plane = jnp.broadcast_to(t.astype(x.dtype), (n, h, w, 1))
     xt = jnp.concatenate([x, t_plane], axis=-1)
-    return _core(p, xt, tile_rows, interpret, engine) + x
+    return _core(p, xt, tile_rows, interpret, engine, trainable, remat) + x

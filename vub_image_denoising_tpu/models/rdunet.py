@@ -27,42 +27,51 @@ from ..nn.blocks import (
 
 
 class _RDUNetCore(nn.Module):
-    """Shared encoder/decoder trunk for RDUNet and RDUNetT."""
+    """Shared encoder/decoder trunk for RDUNet and RDUNetT.
+
+    ``remat=True`` rematerializes each DenoisingBlock in the backward pass: on TPU
+    the narrow-channel full-resolution activations are stored lane-padded (a
+    bf16[N,256,256,16] residual costs 8x its logical bytes in HBM), so training at
+    realistic batch sizes trades those stores for recompute — measured: the bf16
+    train step at batch 32/256^2 OOMs 16GB HBM without it and fits with it.
+    """
 
     base_filters: int
     out_channels: int
+    remat: bool = False
 
     def setup(self):
         f0 = self.base_filters
         f1, f2, f3 = 2 * f0, 4 * f0, 8 * f0
+        Block = nn.remat(DenoisingBlock) if self.remat else DenoisingBlock
 
         self.input_block = InputBlock(f0)
-        self.block_0_0 = DenoisingBlock(f0, f0 // 2, f0)
-        self.block_0_1 = DenoisingBlock(f0, f0 // 2, f0)
+        self.block_0_0 = Block(f0, f0 // 2, f0)
+        self.block_0_1 = Block(f0, f0 // 2, f0)
         self.down_0 = DownsampleBlock(f1)
 
-        self.block_1_0 = DenoisingBlock(f1, f1 // 2, f1)
-        self.block_1_1 = DenoisingBlock(f1, f1 // 2, f1)
+        self.block_1_0 = Block(f1, f1 // 2, f1)
+        self.block_1_1 = Block(f1, f1 // 2, f1)
         self.down_1 = DownsampleBlock(f2)
 
-        self.block_2_0 = DenoisingBlock(f2, f2 // 2, f2)
-        self.block_2_1 = DenoisingBlock(f2, f2 // 2, f2)
+        self.block_2_0 = Block(f2, f2 // 2, f2)
+        self.block_2_1 = Block(f2, f2 // 2, f2)
         self.down_2 = DownsampleBlock(f3)
 
-        self.block_3_0 = DenoisingBlock(f3, f3 // 2, f3)
-        self.block_3_1 = DenoisingBlock(f3, f3 // 2, f3)
+        self.block_3_0 = Block(f3, f3 // 2, f3)
+        self.block_3_1 = Block(f3, f3 // 2, f3)
 
         self.up_2 = UpsampleBlock(f3, f2)
-        self.block_2_2 = DenoisingBlock(f2, f2 // 2, f2)
-        self.block_2_3 = DenoisingBlock(f2, f2 // 2, f2)
+        self.block_2_2 = Block(f2, f2 // 2, f2)
+        self.block_2_3 = Block(f2, f2 // 2, f2)
 
         self.up_1 = UpsampleBlock(f2, f1)
-        self.block_1_2 = DenoisingBlock(f1, f1 // 2, f1)
-        self.block_1_3 = DenoisingBlock(f1, f1 // 2, f1)
+        self.block_1_2 = Block(f1, f1 // 2, f1)
+        self.block_1_3 = Block(f1, f1 // 2, f1)
 
         self.up_0 = UpsampleBlock(f1, f0)
-        self.block_0_2 = DenoisingBlock(f0, f0 // 2, f0)
-        self.block_0_3 = DenoisingBlock(f0, f0 // 2, f0)
+        self.block_0_2 = Block(f0, f0 // 2, f0)
+        self.block_0_3 = Block(f0, f0 // 2, f0)
 
         self.output_block = OutputBlock(f0, self.out_channels)
 
@@ -106,9 +115,10 @@ class RDUNet(nn.Module):
 
     channels: int = 3
     base_filters: int = 64
+    remat: bool = False  # rematerialize dense blocks in backward (see _RDUNetCore)
 
     def setup(self):
-        self.core = _RDUNetCore(self.base_filters, self.channels)
+        self.core = _RDUNetCore(self.base_filters, self.channels, self.remat)
 
     def __call__(self, x):
         return self.core(x) + x
@@ -125,9 +135,10 @@ class RDUNetT(nn.Module):
 
     base_filters: int = 64
     out_channels: int = 3
+    remat: bool = False  # rematerialize dense blocks in backward (see _RDUNetCore)
 
     def setup(self):
-        self.core = _RDUNetCore(self.base_filters, self.out_channels)
+        self.core = _RDUNetCore(self.base_filters, self.out_channels, self.remat)
 
     def __call__(self, x, t):
         n, h, w, _ = x.shape

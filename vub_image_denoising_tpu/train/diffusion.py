@@ -128,10 +128,25 @@ class DiffusionTrainer:
     compute_dtype: Any = jnp.float32
     mesh: Any = None
     writer: Any = None
+    # U-Net execution engine: 'flax' (reference-exact conv order — strict parity),
+    # 'xla' (optimized engine, natively differentiable, fastest on hardware),
+    # 'pallas' (fused kernels via custom VJP — small-batch latency)
+    engine: str = "flax"
+    # rematerialize dense blocks in the backward pass (HBM relief; models/rdunet.py)
+    remat: bool = False
 
     def __post_init__(self):
-        self.unet = RDUNetT(base_filters=self.base_filters)
+        self.unet = RDUNetT(base_filters=self.base_filters, remat=self.remat)
         self.diffusion = InterpolationDiffusion(timesteps=self.timesteps)
+        if self.engine == "flax":
+            self._unet_apply = self.unet.apply
+        else:
+            from ..models.fused_apply import rdunet_t_apply_fused
+
+            self._unet_apply = lambda p, x, t: rdunet_t_apply_fused(
+                p, x, t, engine=self.engine, trainable=(self.engine == "pallas"),
+                remat=self.remat,
+            )
 
     def ensure_mesh(self):
         """Create the data-parallel mesh on first use (all local devices)."""
@@ -154,7 +169,7 @@ class DiffusionTrainer:
         state = TrainState.create(params, self.tx)
         state = put_replicated(state, self.mesh)
         step = make_diffusion_train_step(
-            self.unet.apply,
+            self._unet_apply,
             self.diffusion,
             self.tx,
             accumulation_steps=self.accumulation_steps,
@@ -168,7 +183,7 @@ class DiffusionTrainer:
             sample_fn = self.diffusion.improved_sampling
         self._jit_sample = jax.jit(
             lambda params, noisy: sample_fn(
-                lambda p, x, t: self.unet.apply(p, x, t), params, noisy
+                self._unet_apply, params, noisy
             )
         )
         return state
@@ -320,6 +335,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="dataset",
                    help="root containing DIV2K_train_HR.nosync / SIDD_dataset.nosync")
     p.add_argument("--bf16", action="store_true", help="run the U-Net in bfloat16")
+    p.add_argument("--engine", type=str, default="flax",
+                   choices=["flax", "xla", "pallas"],
+                   help="U-Net engine: flax (reference-exact), xla (optimized, "
+                        "fastest), pallas (fused kernels, small-batch latency)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize dense blocks in backward (fits larger "
+                        "batches in HBM)")
     return p
 
 
@@ -361,6 +383,8 @@ def train(args, train_loader=None, val_loader=None):
         distribution_choice=args.distribution_choice,
         output_dir=args.output_dir,
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
+        engine=getattr(args, "engine", "flax"),
+        remat=getattr(args, "remat", False),
     )
     try:
         from tensorboardX import SummaryWriter
