@@ -44,6 +44,19 @@ def test_rdunet_t_fused_matches_flax():
     want = np.asarray(model.apply(variables, x, t))
     got = np.asarray(rdunet_t_apply_fused(variables, x, t, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # the optimized-XLA engine (DiffusionTrainer engine='xla') matches too,
+    # including with remat
+    got_xla = np.asarray(rdunet_t_apply_fused(variables, x, t, engine="xla"))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+    grad_remat = jax.grad(
+        lambda v: jnp.sum(rdunet_t_apply_fused(v, x, t, engine="xla", remat=True) ** 2)
+    )(variables)
+    grad_plain = jax.grad(
+        lambda v: jnp.sum(model.apply(v, x, t) ** 2)
+    )(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_remat),
+                    jax.tree_util.tree_leaves(grad_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
 def test_channel_padded_block_matches_unpadded():

@@ -106,7 +106,8 @@ def evaluate_sidd(
     # (evaluate_SIDD.py:55-57) is otherwise transfer-dominated on this runtime.
     # All syncs happen once at the end.
     psnrs, ssims = [], []
-    pending = []
+    pending = []  # (psnr_vec, ssim_vec, count) — scalars only, big arrays released
+    sample_arrays = None  # (noisy, gt, out) of the first batch, for the debug plot
     first_inputs = None
     t_loop0 = time.perf_counter()
     inputs = make_inputs(batches[0]) if batches else None
@@ -117,25 +118,25 @@ def evaluate_sidd(
         noisy, gt = inputs
         out = sampler(noisy)
         p_vec, s_vec = batch_metrics(gt, out)
-        pending.append((p_vec, s_vec, noisy, gt, out, len(sel)))
+        pending.append((p_vec, s_vec, len(sel)))
+        if k == 0 and sample_plot_path:
+            sample_arrays = (noisy, gt, out)
         inputs = nxt
     # force completion of everything (block_until_ready can return early on this
     # runtime; device_get is authoritative)
-    pending = [
-        (jax.device_get(p), jax.device_get(s), noisy, gt, out, cnt)
-        for (p, s, noisy, gt, out, cnt) in pending
-    ]
+    pending = [(jax.device_get(p), jax.device_get(s), cnt) for (p, s, cnt) in pending]
     wall_ms = (time.perf_counter() - t_loop0) * 1000.0
 
     samples = []
     n_eval = 0
-    for p_vec, s_vec, noisy, gt, out, cnt in pending:
+    for p_vec, s_vec, cnt in pending:
         psnrs.extend(np.asarray(p_vec, np.float64).tolist())
         ssims.extend(np.asarray(s_vec, np.float64).tolist())
         n_eval += cnt
-        if sample_plot_path and len(samples) < n_samples:
-            for k in range(min(cnt, n_samples - len(samples))):
-                samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
+    if sample_arrays is not None:
+        noisy, gt, out = sample_arrays
+        for k in range(min(noisy.shape[0], n_samples)):
+            samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
 
     # steady-state on-device latency, transfers excluded (device-resident input,
     # completion forced via device_get)
