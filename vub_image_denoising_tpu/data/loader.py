@@ -13,7 +13,6 @@ only_validation, augment, per-split noise-level lists, use_rgb.
 
 import collections
 import concurrent.futures
-import threading
 from typing import Any, Callable, Iterator, Optional, Sequence
 
 import jax

@@ -16,7 +16,6 @@ this environment (no egress), so:
   will not match the published metrics (documented deviation).
 """
 
-import math
 import os
 from typing import Optional
 

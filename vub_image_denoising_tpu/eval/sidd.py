@@ -15,7 +15,6 @@ metrics are computed on-device; per-block timing is reported as batch time / bat
 """
 
 import base64
-import os
 import time
 from typing import Callable, Optional
 
@@ -23,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .metrics import psnr, psnr_per_image, ssim_ref, ssim_ref_per_image
+from .metrics import psnr_per_image, ssim_ref_per_image
 
 
 class SIDDMatBlocks:

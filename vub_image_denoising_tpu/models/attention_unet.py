@@ -23,7 +23,6 @@ Init: weights_init_normal (:146-153) — Conv weights N(0, 0.02); BN weight N(1,
 bias 0.
 """
 
-import math
 from typing import Optional
 
 import jax

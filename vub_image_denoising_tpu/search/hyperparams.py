@@ -10,7 +10,6 @@ results appended to trial_results.csv (:72-79); study summary via tabulate (:102
 Data loaders are built once and shared across trials (:82-91).
 """
 
-import argparse
 import os
 from typing import Optional
 

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from ..models.attention_unet import AttentionUNet, PatchGAN
 from ..models.vgg import VGG19Features, load_torch_vgg19

@@ -19,7 +19,6 @@ DiffusionTrainer:
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..data.loader import load_data as load_folder_data
 from ..data.loader import load_sidd_data

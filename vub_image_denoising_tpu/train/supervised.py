@@ -18,7 +18,6 @@ replicated; XLA inserts the gradient all-reduce over ICI.  The on-device noise p
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

@@ -43,22 +43,34 @@ def model_summary(apply_fn: Callable, params, *example_args) -> dict:
 
 
 def measure_inference_metrics(apply_fn: Callable, params, *example_args,
-                              num_iterations: int = 10) -> dict:
-    """Average wall-clock latency over ``num_iterations`` (info.py:31-48)."""
+                              num_iterations: int = 10,
+                              peak_flops: float = 127e12) -> dict:
+    """Average wall-clock latency over ``num_iterations`` (info.py:31-48), plus MFU
+    against ``peak_flops`` (default: the v5e PRACTICAL bf16 matmul peak measured in
+    BASELINE.md round 2; pass 197e12 for nominal)."""
     fwd = jax.jit(apply_fn)
     out = fwd(params, *example_args)
     jax.block_until_ready(out)
+    _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # force completion
     times = []
     for _ in range(num_iterations):
         t0 = time.perf_counter()
         out = fwd(params, *example_args)
-        jax.block_until_ready(out)
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         times.append(time.perf_counter() - t0)
-    return {
+    result = {
         "avg_inference_sec": float(np.mean(times)),
         "std_inference_sec": float(np.std(times)),
         "num_iterations": num_iterations,
     }
+    try:
+        cost = jax.jit(apply_fn).lower(params, *example_args).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            result["mfu"] = flops / result["avg_inference_sec"] / peak_flops
+    except Exception:
+        pass
+    return result
 
 
 def print_info():
