@@ -16,7 +16,9 @@ injection, augmentation and normalization are fused on-device ops (data/device.p
   adapter for SIDD .mat validation blocks).
 """
 
+import collections
 import os
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,7 +27,51 @@ PATCH_SIZE = 256
 IMAGE_EXTENSIONS = ("png", "jpg", "jpeg")
 
 
-def _decode(path: str, use_rgb: bool) -> np.ndarray:
+class DecodeCache:
+    """Thread-safe byte-budgeted LRU of decoded images.
+
+    The patch index maps every sample back to its source image, so without a
+    cache each image is re-decoded once *per patch per epoch* (the reference
+    pays the same cost in its torch Dataset, custom_dataset.py:74-81, hidden
+    behind DataLoader worker processes).  Budget via ``VUB_DECODE_CACHE_MB``
+    (default 4096; 0 disables).  Safe under the loader's fetch thread pool.
+    """
+
+    def __init__(self, budget_bytes: Optional[int] = None):
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get("VUB_DECODE_CACHE_MB", "4096")) * (1 << 20)
+        self.budget = budget_bytes
+        self._lock = threading.Lock()
+        self._entries: "collections.OrderedDict[tuple, np.ndarray]" = collections.OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key, decode_fn) -> np.ndarray:
+        if self.budget <= 0:
+            return decode_fn()
+        with self._lock:
+            arr = self._entries.get(key)
+            if arr is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return arr
+            self.misses += 1
+        arr = decode_fn()  # decode outside the lock (PIL releases the GIL)
+        with self._lock:
+            if key not in self._entries:
+                self._entries[key] = arr
+                self._bytes += arr.nbytes
+                while self._bytes > self.budget and len(self._entries) > 1:
+                    _, old = self._entries.popitem(last=False)
+                    self._bytes -= old.nbytes
+            return self._entries[key]
+
+
+_decode_cache = DecodeCache()
+
+
+def _decode_nocache(path: str, use_rgb: bool) -> np.ndarray:
     """Decode an image file to uint8 HWC (C=3) or HW1 (grayscale)."""
     from PIL import Image
 
@@ -39,6 +85,11 @@ def _decode(path: str, use_rgb: bool) -> np.ndarray:
     else:
         arr = np.asarray(img.convert("L"), dtype=np.uint8)[..., None]
     return arr
+
+
+def _decode(path: str, use_rgb: bool) -> np.ndarray:
+    """Cached decode — one decode per image per process, not per patch."""
+    return _decode_cache.get((path, use_rgb), lambda: _decode_nocache(path, use_rgb))
 
 
 def _index_patches(size: Tuple[int, int], patch_size: int = PATCH_SIZE):
@@ -103,6 +154,25 @@ class FolderPatchDataset:
         clean = arr[top : top + p, left : left + p]
         return clean, float(self.noise_levels[noise_idx])
 
+    def gather_batch(self, indices):
+        """Batched fetch: one native gather over cached frames (native/patchio).
+
+        Returns the same (clean_u8 [N,p,p,C], sigma_f32 [N]) a per-item fetch +
+        collate would.
+        """
+        from ..native import gather_patches
+
+        frames, tops, lefts, sigmas = [], [], [], []
+        for idx in indices:
+            idx = int(idx)
+            path, top, left = self.patches[idx // len(self.noise_levels)]
+            frames.append(_decode(path, self.use_rgb))
+            tops.append(top)
+            lefts.append(left)
+            sigmas.append(self.noise_levels[idx % len(self.noise_levels)])
+        clean = gather_patches(frames, tops, lefts, self.patch_size)
+        return clean, np.asarray(sigmas, np.float32)
+
 
 class SIDDPatchDataset:
     """Real-noise (noisy, GT) patch pairs from an SIDD_Medium_Srgb tree."""
@@ -146,6 +216,21 @@ class SIDDPatchDataset:
         p = self.patch_size
         noisy = _decode(noisy_path, self.use_rgb)[top : top + p, left : left + p]
         gt = _decode(gt_path, self.use_rgb)[top : top + p, left : left + p]
+        return noisy, gt
+
+    def gather_batch(self, indices):
+        """Batched (noisy, gt) fetch via the native gather over cached frames."""
+        from ..native import gather_patches
+
+        n_frames, g_frames, tops, lefts = [], [], [], []
+        for idx in indices:
+            noisy_path, gt_path, top, left = self.patches[int(idx)]
+            n_frames.append(_decode(noisy_path, self.use_rgb))
+            g_frames.append(_decode(gt_path, self.use_rgb))
+            tops.append(top)
+            lefts.append(left)
+        noisy = gather_patches(n_frames, tops, lefts, self.patch_size)
+        gt = gather_patches(g_frames, tops, lefts, self.patch_size)
         return noisy, gt
 
 
@@ -204,4 +289,8 @@ class ArrayPatchDataset:
         return len(self.noisy)
 
     def __getitem__(self, idx: int):
+        return self.noisy[idx], self.gt[idx]
+
+    def gather_batch(self, indices):
+        idx = np.asarray(indices, np.int64)
         return self.noisy[idx], self.gt[idx]

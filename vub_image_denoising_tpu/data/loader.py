@@ -34,6 +34,18 @@ class Subset:
     def __getitem__(self, idx):
         return self.dataset[int(self.indices[idx])]
 
+    def __getattr__(self, name):
+        # expose gather_batch only when the base dataset has one, so the loader's
+        # hasattr capability check stays honest through nested Subsets
+        if name == "gather_batch":
+            base = getattr(self.dataset, "gather_batch")
+
+            def gather(indices):
+                return base(self.indices[np.asarray(indices, np.int64)])
+
+            return gather
+        raise AttributeError(name)
+
 
 def random_split(dataset, sizes: Sequence[int], seed: int = 0):
     """Shuffle-split a dataset into Subsets (torch.utils.data.random_split analog)."""
@@ -115,10 +127,16 @@ class PatchLoader:
         epoch_key = jax.random.fold_in(self.key, self.epoch)
         self.epoch += 1
 
+        gather = getattr(self.dataset, "gather_batch", None)
+
         def fetch(batch_idx_and_step):
             batch_idx, step = batch_idx_and_step
-            items = [self.dataset[int(i)] for i in batch_idx]
-            host = _collate(items)
+            if gather is not None:
+                # batched path: decode-cache + native patch gather (one C call)
+                host = tuple(gather(batch_idx))
+            else:
+                items = [self.dataset[int(i)] for i in batch_idx]
+                host = _collate(items)
             return host, step
 
         def to_device(host, step):
