@@ -1,0 +1,76 @@
+"""Multi-host plumbing: init_distributed gating, global-batch construction,
+cross-process metric reduction.  Real multi-process runs need a pod; these tests
+pin the single-process fast paths and drive the multi-process code paths on one
+process (where they must degrade to identities).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vub_image_denoising_tpu.parallel.mesh import (
+    all_processes_mean,
+    init_distributed,
+    make_global_batch,
+    make_mesh,
+    shard_batch,
+)
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() is False
+
+
+def test_make_global_batch_single_process_matches_device_put():
+    mesh = make_mesh()
+    sh = shard_batch(mesh)
+    x = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    got = make_global_batch(x, sh)
+    ref = jax.device_put(x, sh)
+    assert got.sharding == ref.sharding
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_make_global_batch_callback_path(monkeypatch):
+    # force the multi-process branch on one process: make_array_from_callback must
+    # assemble the identical global array from per-shard callbacks
+    mesh = make_mesh()
+    sh = shard_batch(mesh)
+    x = np.random.RandomState(0).randn(8, 4, 4, 3).astype(np.float32)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = make_global_batch(x, sh)
+    np.testing.assert_array_equal(np.asarray(got), x)
+    shard_shapes = {tuple(s.data.shape) for s in got.addressable_shards}
+    n = mesh.devices.size
+    assert shard_shapes == {(8 // n, 4, 4, 3)}
+
+
+def test_all_processes_mean_identity_and_gather_path(monkeypatch):
+    x = np.asarray([1.5, 2.5], np.float32)
+    np.testing.assert_array_equal(all_processes_mean(x), x)
+    # multi-process branch with a faked 2-process allgather: mean over axis 0
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather", lambda v: np.stack([v, v + 1.0])
+    )
+    np.testing.assert_allclose(np.asarray(all_processes_mean(x)), x + 0.5)
+
+
+def test_loader_uses_global_batch_construction(monkeypatch, tmp_path):
+    from PIL import Image
+
+    from vub_image_denoising_tpu.data import FolderPatchDataset, PatchLoader
+
+    arr = np.random.RandomState(0).randint(0, 256, (512, 1024, 3), np.uint8)
+    Image.fromarray(arr).save(tmp_path / "img.png")
+    ds = FolderPatchDataset(str(tmp_path), noise_levels=[25, 50], use_rgb=True)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    loader = PatchLoader(ds, batch_size=max(n, 4), sharding=shard_batch(mesh))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)  # exercise callback path
+    clean, sigma = next(iter(loader))
+    assert {s.data.shape[0] for s in clean.addressable_shards} == {max(n, 4) // n}
+    assert np.isfinite(np.asarray(sigma)).all()

@@ -217,3 +217,36 @@ def test_biased_timestep_sampling_distribution():
     tu = np.asarray(sample_timesteps(jax.random.PRNGKey(1), 4096, 20, "uniform"))
     assert set(np.unique(tu)).issubset(set(np.arange(21.0)))
     assert abs(tu.mean() - 10.0) < 0.5
+
+
+def test_small_batch_accumulation_never_nans():
+    """Batch smaller than accumulation_steps must degrade gracefully, not produce
+    empty micro-batches (0/0 = NaN poisoning params) — regression for the
+    reference-default accumulation_steps=4 with batch_size 2."""
+    from vub_image_denoising_tpu.train.supervised import effective_accumulation
+
+    assert effective_accumulation(2, 4) == 2
+    assert effective_accumulation(6, 4) == 3  # keeps all 6 samples
+    assert effective_accumulation(8, 4) == 4
+    assert effective_accumulation(1, 4) == 1
+
+    import optax
+
+    model = RDUNet(channels=3, base_filters=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(2), x)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
+    step = make_supervised_train_step(model.apply, tx, accumulation_steps=4)
+    state, loss = step(TrainState.create(params, tx), x, y)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(state.params))
+
+    from vub_image_denoising_tpu.train.diffusion import DiffusionTrainer
+
+    trainer = DiffusionTrainer(base_filters=4, timesteps=2, accumulation_steps=4)
+    dstate = trainer.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3)),
+                          steps_per_epoch=1)
+    dstate, dloss = trainer._jit_step(dstate, jax.random.PRNGKey(1), x, y)
+    assert np.isfinite(float(dloss))

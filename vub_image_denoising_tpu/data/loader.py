@@ -147,8 +147,10 @@ class PatchLoader:
                 # cannot be split; fall back to single-device placement for it
                 if batch and batch[0].shape[0] % sh.num_devices != 0:
                     sh = None
+                from ..parallel.mesh import make_global_batch
+
                 batch = tuple(
-                    jax.device_put(x, sh) if sh is not None else jax.device_put(x)
+                    make_global_batch(x, sh) if sh is not None else jax.device_put(x)
                     for x in batch
                 )
             if self.transform is not None:

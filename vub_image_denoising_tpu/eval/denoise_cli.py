@@ -1,0 +1,176 @@
+"""Denoise real images from the command line — the end-user inference surface.
+
+The reference has no single-image entry point (its evaluators only consume
+pre-cut SIDD ``.mat`` blocks, evaluate_SIDD.py:20-41, or DIV2K patch loaders);
+this CLI closes that gap: load a reference-layout ``.pth`` checkpoint, denoise
+a PNG/JPEG file or a folder of them at native resolution, write the results.
+
+Arbitrary sizes are handled TPU-natively: images are reflect-padded to the
+U-Net's stride (8) and run as ONE forward — no host-side 256x256 tiling, no
+seams.  With more than one visible device, ``--tile-parallel`` shards the row
+dimension across the mesh (parallel/tiles.py) so megapixel images are denoised
+cooperatively with XLA inserting the halo exchanges.
+
+Usage:
+  python -m vub_image_denoising_tpu.eval.denoise_cli \
+      --checkpoint model.pth --arch rdunet --input photo.png --output clean.png
+  python -m vub_image_denoising_tpu.eval.denoise_cli \
+      --checkpoint diff.pth --arch diffusion --timesteps 20 --input noisy_dir/ \
+      --output out_dir/ --bf16
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.interpolation import InterpolationDiffusion
+from ..models.rdunet import RDUNet, RDUNetT
+from ..utils import checkpoint as ckpt_io
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg")
+
+
+def _zero_params(model, *example_args):
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
+                   timesteps: int = 20, channels: int = 3, bf16: bool = False,
+                   engine: str = "auto", tile_parallel: bool = False):
+    """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
+
+    arch 'rdunet'   — supervised denoiser (UNet/RDUNet_model.py layout).
+    arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed dicts,
+                      diffusion_RDUnet.py layout).
+    """
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if not bf16:
+        from .. import enable_strict_precision
+
+        enable_strict_precision()
+    if engine == "auto":
+        engine = "xla" if bf16 else "flax"
+
+    if arch == "rdunet":
+        model = RDUNet(channels=channels, base_filters=base_filters)
+        params = _zero_params(model, jnp.zeros((1, 64, 64, channels)))
+        params, _ = ckpt_io.load_pth(checkpoint, params)
+        if engine == "flax":
+            apply_fn = model.apply
+        else:
+            from ..models.fused_apply import rdunet_apply_fused
+
+            apply_fn = lambda p, x: rdunet_apply_fused(p, x, engine=engine)
+
+        def forward(p, batch):
+            return apply_fn(p, batch.astype(dtype)).astype(jnp.float32)
+
+    elif arch == "diffusion":
+        unet = RDUNetT(base_filters=base_filters)
+        params = _zero_params(unet, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
+        params, _ = ckpt_io.load_pth(checkpoint, params, prefix="unet.")
+        diffusion = InterpolationDiffusion(timesteps=timesteps)
+        if engine == "flax":
+            unet_fn = unet.apply
+        else:
+            from ..models.fused_apply import rdunet_t_apply_fused
+
+            unet_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t, engine=engine)
+
+        def forward(p, batch):
+            out = diffusion.improved_sampling(unet_fn, p, batch.astype(dtype))
+            return out.astype(jnp.float32)
+
+    else:
+        raise ValueError(f"unknown arch '{arch}' (expected rdunet|diffusion)")
+
+    if tile_parallel:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.tiles import denoise_large_image
+
+        mesh = make_mesh()
+
+        def denoise(image):
+            return denoise_large_image(forward, params, image, mesh=mesh)
+
+        return denoise
+
+    jit_forward = jax.jit(forward)
+
+    def denoise(image):
+        h, w, _ = image.shape
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        x = jnp.asarray(
+            np.pad(image, ((0, hp - h), (0, wp - w), (0, 0)), mode="reflect")
+        )[None]
+        return jit_forward(params, x)[0, :h, :w]
+
+    return denoise
+
+
+def denoise_file(denoise_fn, in_path: str, out_path: str, grayscale: bool = False):
+    from PIL import Image
+
+    img = Image.open(in_path)
+    img = img.convert("L") if grayscale else img.convert("RGB")
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # Normalize(0.5, 0.5)
+    y = np.asarray(denoise_fn(x))
+    out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(out_path)
+    return out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Denoise images with a trained checkpoint")
+    p.add_argument("--checkpoint", required=True, help=".pth (reference layout)")
+    p.add_argument("--arch", default="rdunet", choices=["rdunet", "diffusion"])
+    p.add_argument("--input", required=True, help="image file or folder")
+    p.add_argument("--output", default=None,
+                   help="output file or folder (default: <input>_denoised)")
+    p.add_argument("--base-filters", type=int, default=32)
+    p.add_argument("--timesteps", type=int, default=20)
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "flax", "xla", "pallas"])
+    p.add_argument("--tile-parallel", action="store_true",
+                   help="shard image rows across all visible devices")
+    args = p.parse_args(argv)
+
+    channels = 1 if args.grayscale else 3
+    denoise_fn = build_denoiser(
+        args.checkpoint, args.arch, args.base_filters, args.timesteps,
+        channels=channels, bf16=args.bf16, engine=args.engine,
+        tile_parallel=args.tile_parallel,
+    )
+
+    if os.path.isdir(args.input):
+        out_dir = args.output or args.input.rstrip("/\\") + "_denoised"
+        os.makedirs(out_dir, exist_ok=True)
+        names = sorted(
+            f for f in os.listdir(args.input)
+            if f.lower().endswith(IMAGE_EXTENSIONS)
+        )
+        if not names:
+            raise FileNotFoundError(f"no images in {args.input}")
+        for name in names:
+            out = denoise_file(denoise_fn, os.path.join(args.input, name),
+                               os.path.join(out_dir, name), args.grayscale)
+            print(out)
+    else:
+        out_path = args.output
+        if out_path is None:
+            stem, ext = os.path.splitext(args.input)
+            out_path = f"{stem}_denoised{ext or '.png'}"
+        print(denoise_file(denoise_fn, args.input, out_path, args.grayscale))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,24 +34,32 @@ class _RDUNetCore(nn.Module):
     bf16[N,256,256,16] residual costs 8x its logical bytes in HBM), so training at
     realistic batch sizes trades those stores for recompute — measured: the bf16
     train step at batch 32/256^2 OOMs 16GB HBM without it and fits with it.
+    ``remat="highres"`` rematerializes only the scale-0/1 blocks — the ones whose
+    stored activations dominate HBM (full/half resolution, maximally lane-padded)
+    while being the cheapest fraction of total FLOPs to recompute; scales 2/3
+    keep their (small) activations stored.
     """
 
     base_filters: int
     out_channels: int
-    remat: bool = False
+    remat: object = False  # False | True | "highres"
 
     def setup(self):
         f0 = self.base_filters
         f1, f2, f3 = 2 * f0, 4 * f0, 8 * f0
-        Block = nn.remat(DenoisingBlock) if self.remat else DenoisingBlock
+        full = self.remat is True or self.remat == "all"
+        Block = nn.remat(DenoisingBlock) if full else DenoisingBlock
+        BlockHi = (
+            nn.remat(DenoisingBlock) if (full or self.remat == "highres") else DenoisingBlock
+        )
 
         self.input_block = InputBlock(f0)
-        self.block_0_0 = Block(f0, f0 // 2, f0)
-        self.block_0_1 = Block(f0, f0 // 2, f0)
+        self.block_0_0 = BlockHi(f0, f0 // 2, f0)
+        self.block_0_1 = BlockHi(f0, f0 // 2, f0)
         self.down_0 = DownsampleBlock(f1)
 
-        self.block_1_0 = Block(f1, f1 // 2, f1)
-        self.block_1_1 = Block(f1, f1 // 2, f1)
+        self.block_1_0 = BlockHi(f1, f1 // 2, f1)
+        self.block_1_1 = BlockHi(f1, f1 // 2, f1)
         self.down_1 = DownsampleBlock(f2)
 
         self.block_2_0 = Block(f2, f2 // 2, f2)
@@ -66,12 +74,12 @@ class _RDUNetCore(nn.Module):
         self.block_2_3 = Block(f2, f2 // 2, f2)
 
         self.up_1 = UpsampleBlock(f2, f1)
-        self.block_1_2 = Block(f1, f1 // 2, f1)
-        self.block_1_3 = Block(f1, f1 // 2, f1)
+        self.block_1_2 = BlockHi(f1, f1 // 2, f1)
+        self.block_1_3 = BlockHi(f1, f1 // 2, f1)
 
         self.up_0 = UpsampleBlock(f1, f0)
-        self.block_0_2 = Block(f0, f0 // 2, f0)
-        self.block_0_3 = Block(f0, f0 // 2, f0)
+        self.block_0_2 = BlockHi(f0, f0 // 2, f0)
+        self.block_0_3 = BlockHi(f0, f0 // 2, f0)
 
         self.output_block = OutputBlock(f0, self.out_channels)
 
@@ -115,7 +123,7 @@ class RDUNet(nn.Module):
 
     channels: int = 3
     base_filters: int = 64
-    remat: bool = False  # rematerialize dense blocks in backward (see _RDUNetCore)
+    remat: object = False  # False | True | "highres" (see _RDUNetCore)
 
     def setup(self):
         self.core = _RDUNetCore(self.base_filters, self.channels, self.remat)
@@ -135,7 +143,7 @@ class RDUNetT(nn.Module):
 
     base_filters: int = 64
     out_channels: int = 3
-    remat: bool = False  # rematerialize dense blocks in backward (see _RDUNetCore)
+    remat: object = False  # False | True | "highres" (see _RDUNetCore)
 
     def setup(self):
         self.core = _RDUNetCore(self.base_filters, self.out_channels, self.remat)

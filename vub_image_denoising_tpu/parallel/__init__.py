@@ -1,1 +1,11 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (
+    all_processes_mean,
+    init_distributed,
+    make_global_batch,
+    make_mesh,
+    put_batch,
+    put_replicated,
+    replicate,
+    shard_batch,
+)
+from .tiles import denoise_large_image

@@ -55,3 +55,69 @@ def put_replicated(tree, mesh: Mesh):
     """Device_put a pytree fully replicated over the mesh."""
     sh = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` from args or environment.
+
+    The TPU-pod analog of torch's ``init_process_group`` (the reference never has
+    one — single device, job.ssh:5-10).  Reads ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` when args are None; returns True if
+    initialization ran.  No-ops (returns False) when no coordinator is configured —
+    on Cloud TPU pods created with the standard runtime, plain
+    ``jax.distributed.initialize()`` autodetects instead; pass
+    ``coordinator_address='auto'`` to request that.  MUST be called before the first
+    ``jax.devices()`` touch; safe to call twice (second call is a no-op).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return True
+    kwargs = {}
+    if coordinator_address != "auto":
+        kwargs["coordinator_address"] = coordinator_address
+        if num_processes is None:
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None:
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        kwargs.update(num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def make_global_batch(x, sharding: NamedSharding):
+    """Build a (possibly multi-host) global array from a host-resident batch.
+
+    Single-process: a plain ``device_put`` (fast path).  Multi-process: every
+    process holds the full host batch (the loaders are deterministic per epoch,
+    so all processes fetch identical batches) and each contributes exactly the
+    shards its addressable devices own via ``make_array_from_callback`` —
+    correct for any device order in the mesh.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: jnp.asarray(x[idx]))
+
+
+def all_processes_mean(x):
+    """Mean of a per-process scalar/array across processes (eval metric reduction).
+
+    Single-process: identity.  Multi-process: ``process_allgather`` + mean — the
+    ``psum``-outside-jit analog for host-side metrics.
+    """
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.mean(np.asarray(gathered), axis=0)

@@ -40,6 +40,7 @@ from ..parallel.mesh import make_mesh, put_replicated, shard_batch
 from ..utils import checkpoint as ckpt_io
 from .schedules import make_optimizer
 from .state import TrainState
+from .supervised import effective_accumulation
 
 ASCII_BANNER = r"""
     ██    ██ ██    ██ ██████       █████  ██     ██       █████  ██████
@@ -87,10 +88,11 @@ def make_diffusion_train_step(
 
     def step(state: TrainState, key, noisy, clean):
         n = noisy.shape[0]
-        mb = n // accumulation_steps
-        noisy = noisy[: mb * accumulation_steps].reshape(accumulation_steps, mb, *noisy.shape[1:])
-        clean = clean[: mb * accumulation_steps].reshape(accumulation_steps, mb, *clean.shape[1:])
-        keys = jax.random.split(key, accumulation_steps)
+        acc = effective_accumulation(n, accumulation_steps)
+        mb = n // acc
+        noisy = noisy.reshape(acc, mb, *noisy.shape[1:])
+        clean = clean.reshape(acc, mb, *clean.shape[1:])
+        keys = jax.random.split(key, acc)
 
         def body(acc, xs):
             loss_sum, grad_sum = acc
@@ -104,7 +106,7 @@ def make_diffusion_train_step(
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
-            loss_sum / accumulation_steps,
+            loss_sum / acc,
         )
 
     return step
@@ -415,6 +417,11 @@ def train(args, train_loader=None, val_loader=None):
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
+    # multi-host bootstrap (no-op unless JAX_COORDINATOR_ADDRESS is configured);
+    # must run before the first jax.devices() touch
+    from ..parallel.mesh import init_distributed
+
+    init_distributed()
     try:
         return train(args)
     except Exception as e:  # mirror the reference's top-level guard (:314-315)

@@ -30,6 +30,23 @@ from .schedules import make_optimizer
 from .state import TrainState
 
 
+def effective_accumulation(n: int, requested: int) -> int:
+    """Largest divisor of the (static) batch size n that is <= requested.
+
+    Guards the micro-batch split: the reference defaults accumulation to 4
+    (RDUNet_model.py:210-213, diffusion_RDUnet.py:126-128) regardless of batch
+    size, but a literal n//steps split with steps > n yields EMPTY micro-batches
+    whose mean-loss is 0/0 = NaN and silently poisons the params.  Choosing the
+    largest divisor keeps every sample and degrades gracefully (batch 2 with
+    accumulation 4 -> 2 micro-batches of 1).
+    """
+    requested = max(1, min(int(requested), int(n)))
+    for d in range(requested, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def make_supervised_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -54,9 +71,10 @@ def make_supervised_train_step(
 
     def step(state: TrainState, noisy, clean):
         n = noisy.shape[0]
-        mb = n // accumulation_steps
-        noisy = noisy[: mb * accumulation_steps].reshape(accumulation_steps, mb, *noisy.shape[1:])
-        clean = clean[: mb * accumulation_steps].reshape(accumulation_steps, mb, *clean.shape[1:])
+        acc = effective_accumulation(n, accumulation_steps)
+        mb = n // acc
+        noisy = noisy.reshape(acc, mb, *noisy.shape[1:])
+        clean = clean.reshape(acc, mb, *clean.shape[1:])
 
         def body(acc, xs):
             loss_sum, grad_sum = acc
@@ -74,7 +92,7 @@ def make_supervised_train_step(
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
-            loss_sum / accumulation_steps,
+            loss_sum / acc,
         )
 
     return step
