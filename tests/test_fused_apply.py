@@ -143,3 +143,30 @@ def test_prepare_fused_params_identity():
     out = prepare_fused_params(variables)
     assert out["params"]["core"]["block_0_0"]["conv_0"]["kernel"].shape == \
         variables["params"]["core"]["block_0_0"]["conv_0"]["kernel"].shape
+
+
+def test_precombined_block_matches_reference_block():
+    """Lane-packed decomposition == the reference dense block (same linear map,
+    different summation order) — forward AND gradients."""
+    from vub_image_denoising_tpu.models.fused_apply import (
+        _dense_block_xla,
+        _dense_block_xla_precombined,
+    )
+
+    for c in (8, 16):
+        block = DenoisingBlock(c, c // 2, c)
+        x = jax.random.normal(jax.random.PRNGKey(c), (2, 16, 16, c))
+        variables = block.init(jax.random.PRNGKey(1), x)
+        p = variables["params"]
+        want = np.asarray(_dense_block_xla(p, x))
+        # sanity: the extracted-param reference path equals the flax block itself
+        np.testing.assert_allclose(
+            want, np.asarray(block.apply(variables, x)), rtol=1e-5, atol=1e-6
+        )
+        got = np.asarray(_dense_block_xla_precombined(p, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        g_ref = jax.grad(lambda pp: jnp.sum(_dense_block_xla(pp, x) ** 2))(p)
+        g_new = jax.grad(lambda pp: jnp.sum(_dense_block_xla_precombined(pp, x) ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)

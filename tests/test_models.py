@@ -71,3 +71,18 @@ def test_bf16_forward_runs():
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x.astype(jnp.bfloat16))
     assert y.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("remat", [True, "highres"])
+def test_remat_modes_preserve_forward(remat):
+    """remat=True / remat='highres' (rematerialize scale-0/1 blocks only) change
+    backward memory, never forward values."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    plain = RDUNet(channels=3, base_filters=4)
+    wrapped = RDUNet(channels=3, base_filters=4, remat=remat)
+    variables = plain.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(wrapped.apply(variables, x)),
+        np.asarray(plain.apply(variables, x)),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -41,3 +41,26 @@ def test_make_grid_layout():
     np.testing.assert_allclose(grid[2:6, 2:6, 1], 0.0)
     # padding stays zero
     np.testing.assert_allclose(grid[0, :, :], 0.0)
+
+
+def test_log_activations_captures_feature_maps():
+    """The hooks-equivalent (flax capture_intermediates) writes one channel-mean
+    heat map grid per submodule (reference: paper_gan.py:292-309)."""
+    from vub_image_denoising_tpu.models.rca_gan import Generator
+    from vub_image_denoising_tpu.utils.tb import log_activations
+
+    class Recorder:
+        def __init__(self):
+            self.tags = []
+
+        def add_image(self, tag, img, step, dataformats=None):
+            assert img.ndim == 3 and np.isfinite(img).all()
+            self.tags.append(tag)
+
+    gen = Generator(in_channels=1, out_channels=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 1))
+    variables = gen.init(jax.random.PRNGKey(1), x, train=False)
+    rec = Recorder()
+    tags = log_activations(rec, gen.apply, variables, x, train=False)
+    assert tags and tags == rec.tags
+    assert all(t.startswith("debug/") for t in tags)

@@ -112,6 +112,50 @@ def _dense_block_xla(params, x):
     return out3 + x
 
 
+def _dense_block_xla_precombined(params, x):
+    """Lane-packed DenoisingBlock: identical linear algebra to ``_dense_block_xla``
+    with every weight split along its input dim and regrouped by SOURCE tensor.
+
+    The reference block (UNet/RDUNet_model.py:95-115) chains four convs whose
+    output channels are the dense growth rate g = c/2 — at scale 0 that is 16
+    lanes of the MXU's 128 (measured 50 TFLOP/s vs the 127 practical peak,
+    BASELINE.md round 2).  Since conv_i consumes ``concat(x, out_0..out_{i-1})``,
+    conv_i(cat) == sum_j conv(source_j, W_i[source_j slice]); regrouping the
+    slices by source turns the four (..→g, ..→g, ..→g, ..→c) convs into four
+    (c→3g+c, g→2g+c, g→g+c, g→c) convs — output lanes 80/64/48/32 instead of
+    16/16/16/32 at scale 0 — at IDENTICAL total FLOPs, and eliminates all three
+    channel-concat materializations (each stage reads one source tensor).
+    Summation order differs from the reference, so use on compute-dtype (bf16)
+    paths; parity vs the reference block is tested to f32 tolerance.
+    """
+    c = x.shape[-1]
+    k = [params[f"conv_{i}"]["kernel"].astype(x.dtype) for i in range(4)]
+    b = [params[f"conv_{i}"]["bias"].astype(x.dtype) for i in range(4)]
+    al = [params[f"actv_{i}"]["alpha"] for i in range(4)]
+    g = k[0].shape[-1]
+
+    # weights regrouped by source tensor (HWIO: input channels on axis 2)
+    w_x = jnp.concatenate([k[0], k[1][:, :, :c], k[2][:, :, :c], k[3][:, :, :c]], -1)
+    w_0 = jnp.concatenate([k[1][:, :, c:], k[2][:, :, c:c + g], k[3][:, :, c:c + g]], -1)
+    w_1 = jnp.concatenate([k[2][:, :, c + g:], k[3][:, :, c + g:c + 2 * g]], -1)
+    w_2 = k[3][:, :, c + 2 * g:]
+
+    def conv(h, w):
+        return jax.lax.conv_general_dilated(
+            h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    a = conv(x, w_x)                      # [g | g | g | c] contributions of x
+    out0 = _prelu(a[..., :g] + b[0], al[0])
+    bb = conv(out0, w_0)                  # [g | g | c] contributions of out0
+    out1 = _prelu(a[..., g:2 * g] + bb[..., :g] + b[1], al[1])
+    cc = conv(out1, w_1)                  # [g | c] contributions of out1
+    out2 = _prelu(a[..., 2 * g:3 * g] + bb[..., g:2 * g] + cc[..., :g] + b[2], al[2])
+    dd = conv(out2, w_2)                  # [c] contributions of out2
+    out3 = _prelu(a[..., 3 * g:] + bb[..., 2 * g:] + cc[..., g:] + dd + b[3], al[3])
+    return out3 + x
+
+
 def _fused_block_semantic(x, params, tile_rows=None, interpret=False, packed=False):
     """One DenoisingBlock on unpacked NHWC x via the chosen Pallas kernel."""
     if packed:
@@ -149,9 +193,24 @@ def _fused_block_bwd(tile_rows, interpret, packed, res, g):
 fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+# Channel threshold for the lane-packed (precombined) dense block on the XLA
+# engine.  ISOLATED pairs at batch 128 win (scripts/profile_precombined.py, v5e:
+# c=32 0.88x, c=64 1.23x, c=128 1.05x, c=256 1.11x) but MODEL-LEVEL it regresses
+# (bench.py: off 64.4, c>=256 64.0, c>=128 57.9, c>=64 55.9 MP/s) — the
+# sliced-lane adds break XLA's producer-consumer fusion with the glue convs.
+# Default off; env VUB_PRECOMBINE_MIN_C enables for re-probing (BASELINE.md).
+import os as _os
+
+_PRECOMBINE_MIN_CHANNELS = int(_os.environ.get("VUB_PRECOMBINE_MIN_C", str(1 << 30)))
+
+
 def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
           trainable=False, remat=False):
-    block_xla = jax.checkpoint(_dense_block_xla) if remat else _dense_block_xla
+    def block_for(c):
+        fn = (_dense_block_xla_precombined if c >= _PRECOMBINE_MIN_CHANNELS
+              else _dense_block_xla)
+        return jax.checkpoint(fn) if remat else fn
+
     def dense_pair(name_a, name_b, h):
         """Two dense blocks.  Engine choice (measured on v5e, scripts/bench_fused_block
         + profile_xla_opts):
@@ -179,6 +238,7 @@ def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
             eng == "pallas" and c % 128 == 0 and weight_bytes <= (4 << 20)
         )
         if not use_fused:
+            block_xla = block_for(c)
             return block_xla(p[name_b], block_xla(p[name_a], h))
         if trainable:
             h = fused_block_trainable(h, p[name_a], tile_rows, interpret, False)

@@ -74,3 +74,45 @@ def start_tensorboard(log_dir: str):
         print("TensorBoard started at http://localhost:6006")
     except Exception as e:
         print(f"Failed to start TensorBoard: {e}")
+
+
+def log_activations(writer, apply_fn, variables, batch, step: int = 0,
+                    tag_prefix: str = "debug", max_layers: int = 32,
+                    **apply_kwargs):
+    """Activation-map visualization for any flax model.
+
+    The reference registers forward hooks on every conv-owning submodule of the
+    RCA-GAN generator and writes each activation to a ``/debug`` SummaryWriter
+    (paper_gan.py:292-309 ``visualize_activation``/``register_hooks``).  Hooks
+    don't exist under jit, so the TPU-native equivalent is one un-jitted forward
+    with flax's ``capture_intermediates``: every submodule's output is captured
+    functionally, reduced to a channel-mean heat map, and logged as an image
+    grid.  Returns the list of tags written.
+    """
+    out = apply_fn(
+        variables, batch, capture_intermediates=True,
+        mutable=["intermediates"], **apply_kwargs,
+    )
+    intermediates = out[1]["intermediates"] if isinstance(out, tuple) else {}
+
+    tags = []
+
+    def visit(tree, path):
+        if len(tags) >= max_layers:
+            return
+        if isinstance(tree, dict):
+            for k in sorted(tree):
+                visit(tree[k], path + (k,))
+            return
+        leaves = tree if isinstance(tree, (tuple, list)) else (tree,)
+        for leaf in leaves:
+            arr = np.asarray(leaf, np.float32)
+            if arr.ndim != 4:  # NHWC feature maps only
+                continue
+            heat = arr.mean(axis=-1, keepdims=True)  # channel-mean map per sample
+            tag = f"{tag_prefix}/" + "/".join(p for p in path if p != "__call__")
+            add_image_grid(writer, tag, heat, step, normalize=True)
+            tags.append(tag)
+            break
+    visit(intermediates, ())
+    return tags
