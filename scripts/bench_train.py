@@ -42,22 +42,29 @@ def main():
                 jax.random.uniform(jax.random.PRNGKey(1), (batch, SIZE, SIZE, 3),
                                    jnp.bfloat16) * 2 - 1)
 
-    # batch 32 without remat OOMs 16GB HBM (lane-padded full-res residuals)
-    for batch, remat in ((16, False), (32, True)):
+    # batch 32 without remat OOMs 16GB HBM (lane-padded full-res residuals);
+    # the sweet spot (BASELINE.md) is batch 128 + engine="xla" + remat
+    for batch, remat, engine in ((16, False, "flax"), (32, True, "flax"),
+                                 (128, True, "xla")):
         try:
             noisy, clean = data(batch)
-            sup = SupervisedTrainer(RDUNet(channels=3, base_filters=32, remat=remat),
-                                    accumulation_steps=1, compute_dtype=jnp.bfloat16)
+            sup = SupervisedTrainer(
+                RDUNet(channels=3, base_filters=32,
+                       remat=remat if engine == "flax" else False),
+                accumulation_steps=1, compute_dtype=jnp.bfloat16,
+                engine=engine, remat=remat,
+            )
             state = sup.init(key, jnp.zeros((batch, SIZE, SIZE, 3)), steps_per_epoch=100)
             sec = timeit(sup._jit_step, state, noisy, clean)
             mp = batch * SIZE * SIZE / 1e6 / sec
-            print(f"supervised step (RDUNet-32, batch {batch}, bf16, remat={remat}): "
-                  f"{sec * 1e3:7.1f} ms/step  {mp:5.1f} MP/s", flush=True)
+            print(f"supervised step (RDUNet-32, batch {batch}, bf16, remat={remat}, "
+                  f"engine={engine}): {sec * 1e3:7.1f} ms/step  {mp:5.1f} MP/s", flush=True)
         except Exception as e:
-            print(f"supervised batch {batch} remat={remat} failed: "
+            print(f"supervised batch {batch} remat={remat} engine={engine} failed: "
                   f"{type(e).__name__}", flush=True)
 
-    for batch, remat, engine in ((16, True, "flax"), (16, True, "xla")):
+    for batch, remat, engine in ((16, True, "flax"), (16, True, "xla"),
+                                 (128, True, "xla")):
         try:
             noisy, clean = data(batch)
             diff = DiffusionTrainer(base_filters=32, accumulation_steps=1,

@@ -4,6 +4,7 @@ pin the single-process fast paths and drive the multi-process code paths on one
 process (where they must degrade to identities).
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,3 +75,44 @@ def test_loader_uses_global_batch_construction(monkeypatch, tmp_path):
     clean, sigma = next(iter(loader))
     assert {s.data.shape[0] for s in clean.addressable_shards} == {max(n, 4) // n}
     assert np.isfinite(np.asarray(sigma)).all()
+
+
+def test_two_process_end_to_end(tmp_path):
+    """REAL 2-process jax.distributed run (gloo collectives on CPU): global mesh,
+    make_global_batch from host data, sharded forward, cross-process metric mean.
+    Subprocesses drop the axon sitecustomize (it pre-imports jax, pinning the
+    backend before jax.distributed can attach; real TPU VMs have no such shim)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env.update(
+        JAX_PLATFORMS="cpu",
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES="2",
+    )
+    env.pop("XLA_FLAGS", None)  # worker sets jax_num_cpu_devices itself
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "multihost_cpu_demo.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script], env={**env, "JAX_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("proc 0/2" in o and "OK" in o for o in outs), outs
+    assert any("proc 1/2" in o and "OK" in o for o in outs), outs
+    # the global mean must agree across processes
+    import re
+
+    vals = {m.group(1) for o in outs for m in [re.search(r"global\|y\|=([0-9.]+)", o)] if m}
+    assert len(vals) == 1, outs

@@ -250,3 +250,23 @@ def test_small_batch_accumulation_never_nans():
                           steps_per_epoch=1)
     dstate, dloss = trainer._jit_step(dstate, jax.random.PRNGKey(1), x, y)
     assert np.isfinite(float(dloss))
+
+
+def test_supervised_engine_xla_matches_flax_step():
+    """SupervisedTrainer(engine='xla') — the optimized-engine train path — takes
+    the same first step as the flax path (same grads through a different conv
+    structuring)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    states = {}
+    for engine in ("flax", "xla"):
+        trainer = SupervisedTrainer(RDUNet(channels=3, base_filters=4),
+                                    engine=engine, accumulation_steps=2)
+        state = trainer.init(jax.random.PRNGKey(2), jnp.zeros((4, 16, 16, 3)),
+                             steps_per_epoch=1)
+        state, loss = trainer._jit_step(state, x, y)
+        states[engine] = (state, float(loss))
+    assert abs(states["flax"][1] - states["xla"][1]) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(states["flax"][0].params),
+                    jax.tree_util.tree_leaves(states["xla"][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)

@@ -122,6 +122,12 @@ class SupervisedTrainer:
     # optional forward override, e.g. the differentiable fused engine:
     #   functools.partial(rdunet_apply_fused, engine="pallas", trainable=True)
     apply_fn: Optional[Callable] = None
+    # forward engine: 'flax' (reference-exact conv order), 'xla' (optimized engine
+    # — VALID-s2 downs + split-concat ups; measured 1.4x train throughput at the
+    # batch-128 sweet spot, BASELINE.md), or 'pallas' (fused small-batch kernels).
+    # Ignored when apply_fn is given.
+    engine: str = "flax"
+    remat: bool = False  # rematerialize dense blocks in backward (engine != 'flax')
 
     def ensure_mesh(self):
         """Create the data-parallel mesh on first use (all local devices)."""
@@ -142,7 +148,18 @@ class SupervisedTrainer:
         )
         state = TrainState.create(params, self.tx)
         state = put_replicated(state, self.mesh)
-        apply = self.apply_fn if self.apply_fn is not None else self.model.apply
+        apply = self.apply_fn
+        if apply is None:
+            if self.engine == "flax":
+                apply = self.model.apply
+            else:
+                from ..models.fused_apply import rdunet_apply_fused
+
+                eng, rm = self.engine, self.remat
+                trainable = eng == "pallas"
+                apply = lambda p, x: rdunet_apply_fused(
+                    p, x, engine=eng, trainable=trainable, remat=rm
+                )
         step = make_supervised_train_step(
             apply, self.tx, self.accumulation_steps, compute_dtype=self.compute_dtype
         )
