@@ -53,9 +53,13 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
 
     if fused is None:
         fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    # AOT-compile the flax forward ONCE: the same executable serves both the
+    # timing candidate and the FLOPs cost model (a second jax.jit wrapper would
+    # recompile — minutes over this runtime's remote-compile tunnel)
+    flax_compiled = jax.jit(model.apply).lower(params, x).compile()
     candidates = [
         ("xla-opt", jax.jit(lambda v, xx: rdunet_apply_fused(v, xx, engine="xla"))),
-        ("flax", jax.jit(model.apply)),
+        ("flax", flax_compiled),
     ]
     if fused:
         candidates.insert(
@@ -64,7 +68,7 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
 
     # analytic-ish FLOPs from XLA's own cost model of the flax forward
     try:
-        cost = jax.jit(model.apply).lower(params, x).compile().cost_analysis()
+        cost = flax_compiled.cost_analysis()
         flops_per_px = float(cost["flops"]) / (batch * size * size)
     except Exception:
         flops_per_px = 1.45e6  # analytic estimate for base 32

@@ -226,9 +226,10 @@ def test_small_batch_accumulation_never_nans():
     from vub_image_denoising_tpu.train.supervised import effective_accumulation
 
     assert effective_accumulation(2, 4) == 2
-    assert effective_accumulation(6, 4) == 3  # keeps all 6 samples
+    assert effective_accumulation(6, 4) == 4  # non-divisible: keeps the memory bound
     assert effective_accumulation(8, 4) == 4
     assert effective_accumulation(1, 4) == 1
+    assert effective_accumulation(127, 4) == 4  # coprime must NOT collapse to 1
 
     import optax
 

@@ -143,9 +143,29 @@ class PatchLoader:
             batch = host
             if self.sharding is not None:
                 sh = self.sharding
-                # a batch not divisible by the sharded axis (e.g. batch 4 on 8 chips)
-                # cannot be split; fall back to single-device placement for it
+                # a batch not divisible by the sharded axis (e.g. the short tail
+                # batch of an epoch) cannot be split; fall back to single-device
+                # placement for it — LOUDLY, since a non-divisible batch_size
+                # would silently disable data parallelism for the whole run
                 if batch and batch[0].shape[0] % sh.num_devices != 0:
+                    if jax.process_count() > 1:
+                        raise ValueError(
+                            f"batch of {batch[0].shape[0]} is not divisible by the "
+                            f"{sh.num_devices}-device mesh; in a multi-process run "
+                            "every batch must split evenly — pick a divisible "
+                            "batch_size"
+                        )
+                    if not getattr(self, "_warned_fallback", False):
+                        self._warned_fallback = True
+                        import warnings
+
+                        warnings.warn(
+                            f"batch of {batch[0].shape[0]} is not divisible by the "
+                            f"{sh.num_devices}-device mesh; placing it on ONE device "
+                            "(no data parallelism for such batches). Use a "
+                            "batch_size divisible by the device count.",
+                            stacklevel=2,
+                        )
                     sh = None
                 from ..parallel.mesh import make_global_batch
 

@@ -26,11 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.datasets import IMAGE_EXTENSIONS
 from ..diffusion.interpolation import InterpolationDiffusion
 from ..models.rdunet import RDUNet, RDUNetT
 from ..utils import checkpoint as ckpt_io
-
-IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg")
 
 
 def _zero_params(model, *example_args):
@@ -70,6 +69,11 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
             return apply_fn(p, batch.astype(dtype)).astype(jnp.float32)
 
     elif arch == "diffusion":
+        if channels != 3:
+            raise ValueError(
+                "--arch diffusion requires RGB input (the reference RDUNet_T is "
+                "fixed at 3+t channels, Unet_model.py:92-136); drop --grayscale"
+            )
         unet = RDUNetT(base_filters=base_filters)
         params = _zero_params(unet, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
         params, _ = ckpt_io.load_pth(checkpoint, params, prefix="unet.")

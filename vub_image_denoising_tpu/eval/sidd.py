@@ -103,13 +103,21 @@ def evaluate_sidd(
     # blocking on batch k's compute (dispatch is async), overlapping the tunnel
     # transfer with the sampler — the per-block wall time the reference measures
     # (evaluate_SIDD.py:55-57) is otherwise transfer-dominated on this runtime.
-    # All syncs happen once at the end.
+    # Backpressure: at most MAX_IN_FLIGHT batches are un-synced at any moment
+    # (syncing batch k-2's scalar metrics forces completion of its whole chain,
+    # releasing its device buffers), so device memory stays O(1) in eval size.
+    MAX_IN_FLIGHT = 2
     psnrs, ssims = [], []
     pending = []  # (psnr_vec, ssim_vec, count) — scalars only, big arrays released
-    sample_arrays = None  # (noisy, gt, out) of the first batch, for the debug plot
+    samples = []  # (noisy, gt, out) host triples for the debug plot
     first_inputs = None
     t_loop0 = time.perf_counter()
     inputs = make_inputs(batches[0]) if batches else None
+
+    def sync(entry):
+        p_vec, s_vec, cnt = entry
+        return jax.device_get(p_vec), jax.device_get(s_vec), cnt
+
     for k, sel in enumerate(batches):
         if k == 0:
             first_inputs = inputs
@@ -118,24 +126,25 @@ def evaluate_sidd(
         out = sampler(noisy)
         p_vec, s_vec = batch_metrics(gt, out)
         pending.append((p_vec, s_vec, len(sel)))
-        if k == 0 and sample_plot_path:
-            sample_arrays = (noisy, gt, out)
+        if sample_plot_path and len(samples) < n_samples:
+            # collected across batches (evaluate_SIDD.py:70-72 gathers n_samples
+            # blocks); device_get syncs these early batches, which is fine
+            for j in range(min(noisy.shape[0], n_samples - len(samples))):
+                samples.append((np.asarray(noisy[j]), np.asarray(gt[j]),
+                                np.asarray(jax.device_get(out[j]))))
+        if len(pending) > MAX_IN_FLIGHT:
+            pending[-MAX_IN_FLIGHT - 1] = sync(pending[-MAX_IN_FLIGHT - 1])
         inputs = nxt
-    # force completion of everything (block_until_ready can return early on this
+    # force completion of the tail (block_until_ready can return early on this
     # runtime; device_get is authoritative)
-    pending = [(jax.device_get(p), jax.device_get(s), cnt) for (p, s, cnt) in pending]
+    pending = [e if isinstance(e[0], np.ndarray) else sync(e) for e in pending]
     wall_ms = (time.perf_counter() - t_loop0) * 1000.0
 
-    samples = []
     n_eval = 0
     for p_vec, s_vec, cnt in pending:
         psnrs.extend(np.asarray(p_vec, np.float64).tolist())
         ssims.extend(np.asarray(s_vec, np.float64).tolist())
         n_eval += cnt
-    if sample_arrays is not None:
-        noisy, gt, out = sample_arrays
-        for k in range(min(noisy.shape[0], n_samples)):
-            samples.append((np.asarray(noisy[k]), np.asarray(gt[k]), np.asarray(out[k])))
 
     # steady-state on-device latency, transfers excluded (device-resident input,
     # completion forced via device_get)

@@ -90,8 +90,8 @@ def make_diffusion_train_step(
         n = noisy.shape[0]
         acc = effective_accumulation(n, accumulation_steps)
         mb = n // acc
-        noisy = noisy.reshape(acc, mb, *noisy.shape[1:])
-        clean = clean.reshape(acc, mb, *clean.shape[1:])
+        noisy = noisy[: mb * acc].reshape(acc, mb, *noisy.shape[1:])
+        clean = clean[: mb * acc].reshape(acc, mb, *clean.shape[1:])
         keys = jax.random.split(key, acc)
 
         def body(acc, xs):

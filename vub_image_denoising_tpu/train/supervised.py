@@ -31,20 +31,19 @@ from .state import TrainState
 
 
 def effective_accumulation(n: int, requested: int) -> int:
-    """Largest divisor of the (static) batch size n that is <= requested.
+    """Clamp the accumulation split to the (static) batch size n.
 
     Guards the micro-batch split: the reference defaults accumulation to 4
     (RDUNet_model.py:210-213, diffusion_RDUnet.py:126-128) regardless of batch
     size, but a literal n//steps split with steps > n yields EMPTY micro-batches
-    whose mean-loss is 0/0 = NaN and silently poisons the params.  Choosing the
-    largest divisor keeps every sample and degrades gracefully (batch 2 with
-    accumulation 4 -> 2 micro-batches of 1).
+    whose mean-loss is 0/0 = NaN and silently poisons the params.  Clamping to
+    min(requested, n) degrades gracefully (batch 2 with accumulation 4 -> 2
+    micro-batches of 1) while preserving the micro-batch memory bound: a
+    non-divisible batch keeps ``requested`` micro-batches and drops the
+    remainder samples, exactly as before — never collapsing to one giant
+    micro-batch (which would multiply activation memory by up to requested x).
     """
-    requested = max(1, min(int(requested), int(n)))
-    for d in range(requested, 0, -1):
-        if n % d == 0:
-            return d
-    return 1
+    return max(1, min(int(requested), int(n)))
 
 
 def make_supervised_train_step(
@@ -73,8 +72,8 @@ def make_supervised_train_step(
         n = noisy.shape[0]
         acc = effective_accumulation(n, accumulation_steps)
         mb = n // acc
-        noisy = noisy.reshape(acc, mb, *noisy.shape[1:])
-        clean = clean.reshape(acc, mb, *clean.shape[1:])
+        noisy = noisy[: mb * acc].reshape(acc, mb, *noisy.shape[1:])
+        clean = clean[: mb * acc].reshape(acc, mb, *clean.shape[1:])
 
         def body(acc, xs):
             loss_sum, grad_sum = acc

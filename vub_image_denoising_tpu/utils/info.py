@@ -48,7 +48,9 @@ def measure_inference_metrics(apply_fn: Callable, params, *example_args,
     """Average wall-clock latency over ``num_iterations`` (info.py:31-48), plus MFU
     against ``peak_flops`` (default: the v5e PRACTICAL bf16 matmul peak measured in
     BASELINE.md round 2; pass 197e12 for nominal)."""
-    fwd = jax.jit(apply_fn)
+    # AOT compile once; the same executable serves timing AND the MFU cost model
+    # (a second jax.jit wrapper would recompile — minutes on remote-compile runtimes)
+    fwd = jax.jit(apply_fn).lower(params, *example_args).compile()
     out = fwd(params, *example_args)
     jax.block_until_ready(out)
     _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # force completion
@@ -64,7 +66,7 @@ def measure_inference_metrics(apply_fn: Callable, params, *example_args,
         "num_iterations": num_iterations,
     }
     try:
-        cost = jax.jit(apply_fn).lower(params, *example_args).compile().cost_analysis()
+        cost = fwd.cost_analysis()
         flops = float(cost.get("flops", 0.0))
         if flops:
             result["mfu"] = flops / result["avg_inference_sec"] / peak_flops
