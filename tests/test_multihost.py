@@ -106,7 +106,8 @@ def test_two_process_end_to_end(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    # generous: two jax subprocesses compiling on a 1-core host under full-suite load
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     assert any("proc 0/2" in o and "OK" in o for o in outs), outs

@@ -271,3 +271,41 @@ def test_supervised_engine_xla_matches_flax_step():
     for a, b in zip(jax.tree_util.tree_leaves(states["flax"][0].params),
                     jax.tree_util.tree_leaves(states["xla"][0].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_graceful_shutdown_checkpoints_and_stops(tmp_path):
+    """SIGTERM during fit() (pool preemption) finishes the epoch, force-saves the
+    checkpoint, and returns — instead of dying mid-epoch with nothing saved."""
+    import os
+    import signal
+
+    model = RDUNet(channels=3, base_filters=4)
+    trainer = SupervisedTrainer(model, checkpoint_every=1000,
+                                checkpoint_dir=str(tmp_path))
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)),
+                         steps_per_epoch=2)
+
+    sent = {"done": False}
+
+    def loader():
+        # deliver SIGTERM from inside epoch 0 (handler latches the flag)
+        if not sent["done"]:
+            sent["done"] = True
+            os.kill(os.getpid(), signal.SIGTERM)
+        for s in (0, 1):
+            k = jax.random.fold_in(jax.random.PRNGKey(9), s)
+            yield (jax.random.normal(k, (4, 16, 16, 3)),
+                   jax.random.normal(jax.random.fold_in(k, 1), (4, 16, 16, 3)))
+
+    class L:
+        def __iter__(self):
+            return loader()
+
+        def __len__(self):
+            return 2
+
+    state, history = trainer.fit(state, L(), num_epochs=50)
+    assert len(history) == 1  # stopped after the interrupted epoch, not 50
+    assert (tmp_path / trainer.checkpoint_name).exists()  # force-saved
+    # handlers restored: SIGTERM is back to its previous disposition
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.Handlers.SIG_DFL)

@@ -293,20 +293,27 @@ class DiffusionTrainer:
 
     def fit(self, state, train_loader, val_loader, num_epochs: int, start_epoch: int = 0,
             key: Optional[jax.Array] = None):
+        from ..utils.preempt import GracefulShutdown
+
         key = key if key is not None else jax.random.PRNGKey(0)
         history = []
-        for epoch in range(start_epoch, num_epochs):
-            t0 = time.time()
-            state, loss = self.train_epoch(state, train_loader, key, epoch)
-            vloss, _ = self.validate(state, val_loader, epoch)
-            self.save_epoch_checkpoint(state, epoch)
-            history.append(
-                {"epoch": epoch, "loss": loss, "val_loss": vloss, "sec": time.time() - t0}
-            )
-            print(
-                f"Epoch [{epoch + 1}/{num_epochs}], Loss: {loss:.4f}, "
-                f"Validation Loss: {vloss:.4f} ({history[-1]['sec']:.1f}s)"
-            )
+        # SIGTERM/SIGINT (pool preemption) finishes the epoch, checkpoints, exits
+        with GracefulShutdown() as stop:
+            for epoch in range(start_epoch, num_epochs):
+                t0 = time.time()
+                state, loss = self.train_epoch(state, train_loader, key, epoch)
+                vloss, _ = self.validate(state, val_loader, epoch)
+                self.save_epoch_checkpoint(state, epoch)
+                history.append(
+                    {"epoch": epoch, "loss": loss, "val_loss": vloss, "sec": time.time() - t0}
+                )
+                print(
+                    f"Epoch [{epoch + 1}/{num_epochs}], Loss: {loss:.4f}, "
+                    f"Validation Loss: {vloss:.4f} ({history[-1]['sec']:.1f}s)"
+                )
+                if stop.requested:
+                    print(f"[preempt] checkpointed through epoch {epoch + 1}; stopping")
+                    break
         return state, history
 
 

@@ -186,11 +186,12 @@ class SupervisedTrainer:
     def evaluate_batch(self, state, noisy):
         return self._jit_eval(state.params, noisy)
 
-    def maybe_checkpoint(self, state, epoch: int):
+    def maybe_checkpoint(self, state, epoch: int, force: bool = False):
         """Reference layout every N epochs: {model_state_dict, optimizer_state_dict}
         to checkpoints/rdunet_denoising.pth (RDUNet_model.py:252-261); the optax state
-        rides along for exact resume."""
-        if (epoch + 1) % self.checkpoint_every == 0:
+        rides along for exact resume.  ``force`` saves regardless of the cadence
+        (preemption shutdown)."""
+        if force or (epoch + 1) % self.checkpoint_every == 0:
             import numpy as np
 
             path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
@@ -248,11 +249,22 @@ class SupervisedTrainer:
             )
 
     def fit(self, state, train_loader, num_epochs: int, val_loader=None):
+        from ..utils.preempt import GracefulShutdown
+
         history = []
-        for epoch in range(num_epochs):
-            t0 = time.time()
-            state, mean_loss = self.train_epoch(state, train_loader, epoch)
-            self.log_image_grids(state, val_loader or train_loader, epoch)
-            self.maybe_checkpoint(state, epoch)
-            history.append({"epoch": epoch, "loss": mean_loss, "sec": time.time() - t0})
+        # SIGTERM/SIGINT (pool preemption) finishes the epoch, checkpoints, exits
+        with GracefulShutdown() as stop:
+            for epoch in range(num_epochs):
+                t0 = time.time()
+                state, mean_loss = self.train_epoch(state, train_loader, epoch)
+                self.log_image_grids(state, val_loader or train_loader, epoch)
+                if stop.requested:
+                    self.maybe_checkpoint(state, epoch, force=True)
+                    history.append(
+                        {"epoch": epoch, "loss": mean_loss, "sec": time.time() - t0}
+                    )
+                    print(f"[preempt] checkpointed through epoch {epoch + 1}; stopping")
+                    break
+                self.maybe_checkpoint(state, epoch)
+                history.append({"epoch": epoch, "loss": mean_loss, "sec": time.time() - t0})
         return state, history
