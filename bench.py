@@ -107,14 +107,19 @@ def check_fused_parity():
 
     ref = jax.device_get(jax.jit(model.apply)(params, x)).astype("float32")
     scale = float(abs(ref).max()) + 1e-9
-    errs = {}
+    errs, outs = {}, {}
     for engine in ("xla", "pallas"):
         out = jax.device_get(
             jax.jit(lambda v, xx, e=engine: rdunet_apply_fused(v, xx, engine=e))(params, x)
         ).astype("float32")
+        outs[engine] = out
         errs[engine] = float(abs(out - ref).max()) / scale
-    ok = errs["xla"] < 1e-2 and errs["pallas"] < 2e-2  # bf16 compute budget
-    print(json.dumps({"metric": "fused_parity_check", "rel_err": errs, "ok": ok}))
+    # bitwise-identical engines would mean the Pallas kernels silently fell back
+    # to the XLA path — flag it (measured bf16 divergence is ~8e-3)
+    kernel_ran = bool((outs["pallas"] != outs["xla"]).any())
+    ok = errs["xla"] < 1e-2 and errs["pallas"] < 2e-2 and kernel_ran
+    print(json.dumps({"metric": "fused_parity_check", "rel_err": errs,
+                      "pallas_kernel_ran": kernel_ran, "ok": ok}))
     return 0 if ok else 1
 
 

@@ -117,7 +117,8 @@ def gather_patches(
     tops_c = (ctypes.c_int64 * n)()
     lefts_c = (ctypes.c_int64 * n)()
     for i, f in enumerate(frames):
-        if f.dtype != np.uint8 or f.ndim != 3 or f.strides[1] != f.shape[2] or f.strides[2] != 1:
+        if (f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != c
+                or f.strides[1] != f.shape[2] or f.strides[2] != 1):
             return _gather_numpy(frames, tops, lefts, patch)  # exotic layout: fallback
         srcs[i] = f.ctypes.data
         row_bytes[i] = f.strides[0]
