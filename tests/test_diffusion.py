@@ -64,3 +64,26 @@ def test_direct_sampling_is_single_call_at_t1():
     np.testing.assert_allclose(np.asarray(out), 2.0)
     assert len(calls) == 1
     np.testing.assert_allclose(calls[0], 1.0)
+
+
+def test_sampler_schedule_is_exact_in_bf16():
+    """The sampler's schedule/update arithmetic must not inherit bf16 from the
+    activations: bf16 cannot represent integers > 256 (whole steps collapse at
+    large T) and rounds 1/T per-step increments.  With a zero U-Net the update
+    telescopes to exactly x - noisy = 0; in f32 state arithmetic the residual is
+    ~T*eps32, while the old bf16-state version left O(1e-2) garbage."""
+    T = 300
+    diff = InterpolationDiffusion(timesteps=T)
+
+    def zero_unet(params, x2, t2):
+        assert x2.dtype == jnp.bfloat16  # model inputs stay in activation dtype
+        return jnp.zeros_like(x2)
+
+    noisy = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 3)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    out = jax.jit(
+        lambda v: diff.improved_sampling(zero_unet, {}, v)
+    )(noisy)
+    assert out.dtype == jnp.bfloat16
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32)))) < 1e-3

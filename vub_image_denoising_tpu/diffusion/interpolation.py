@@ -45,40 +45,55 @@ class InterpolationDiffusion:
         sequential calls.
         """
         n = noisy.shape[0]
-        ts = jnp.arange(self.timesteps, 0, -1, dtype=noisy.dtype)  # T..1
+        in_dtype = noisy.dtype
+        # Schedule and update arithmetic stay f32 regardless of activation dtype:
+        # bf16 cannot represent integers > 256 (whole t steps collapse at large T)
+        # and t/T rounds alphas by ~0.4% even at T=20.  Only the U-Net INPUTS are
+        # cast to the activation dtype — the model still runs bf16-fast while the
+        # sampler state x_t accumulates exactly (elementwise f32 is noise next to
+        # the 2N forward).
+        ts = jnp.arange(self.timesteps, 0, -1, dtype=jnp.float32)  # T..1
+        noisy32 = noisy.astype(jnp.float32)
 
         def step(x_t, t):
             alpha_t = t / self.timesteps
             alpha_prev = (t - 1) / self.timesteps
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            x2 = jnp.concatenate([x_t, x_t], axis=0).astype(in_dtype)
             t2 = jnp.concatenate(
-                [jnp.full((n,), alpha_t, noisy.dtype), jnp.full((n,), alpha_prev, noisy.dtype)]
-            )
-            pred2 = unet_apply(params, x2, t2)
+                [jnp.full((n,), alpha_t), jnp.full((n,), alpha_prev)]
+            ).astype(in_dtype)
+            pred2 = unet_apply(params, x2, t2).astype(jnp.float32)
             pred_t, pred_prev = pred2[:n], pred2[n:]
-            x_tilde = (1 - alpha_t) * pred_t + alpha_t * noisy
-            x_tilde_prev = (1 - alpha_prev) * pred_prev + alpha_prev * noisy
+            x_tilde = (1 - alpha_t) * pred_t + alpha_t * noisy32
+            x_tilde_prev = (1 - alpha_prev) * pred_prev + alpha_prev * noisy32
             return x_t - x_tilde + x_tilde_prev, None
 
-        x_final, _ = jax.lax.scan(step, noisy, ts, unroll=unroll)
-        return x_final
+        x_final, _ = jax.lax.scan(step, noisy32, ts, unroll=unroll)
+        return x_final.astype(in_dtype)
 
     def improved_sampling_sequential(self, unet_apply, params, noisy):
         """Literal two-call-per-step variant (for parity checks against the batched one)."""
         n = noisy.shape[0]
-        ts = jnp.arange(self.timesteps, 0, -1, dtype=noisy.dtype)
+        in_dtype = noisy.dtype
+        ts = jnp.arange(self.timesteps, 0, -1, dtype=jnp.float32)  # f32: see above
+        noisy32 = noisy.astype(jnp.float32)
 
         def step(x_t, t):
             alpha_t = t / self.timesteps
             alpha_prev = (t - 1) / self.timesteps
-            pred_t = unet_apply(params, x_t, jnp.full((n,), alpha_t, noisy.dtype))
-            x_tilde = (1 - alpha_t) * pred_t + alpha_t * noisy
-            pred_prev = unet_apply(params, x_t, jnp.full((n,), alpha_prev, noisy.dtype))
-            x_tilde_prev = (1 - alpha_prev) * pred_prev + alpha_prev * noisy
+            xin = x_t.astype(in_dtype)
+            pred_t = unet_apply(
+                params, xin, jnp.full((n,), alpha_t).astype(in_dtype)
+            ).astype(jnp.float32)
+            x_tilde = (1 - alpha_t) * pred_t + alpha_t * noisy32
+            pred_prev = unet_apply(
+                params, xin, jnp.full((n,), alpha_prev).astype(in_dtype)
+            ).astype(jnp.float32)
+            x_tilde_prev = (1 - alpha_prev) * pred_prev + alpha_prev * noisy32
             return x_t - x_tilde + x_tilde_prev, None
 
-        x_final, _ = jax.lax.scan(step, noisy, ts)
-        return x_final
+        x_final, _ = jax.lax.scan(step, noisy32, ts)
+        return x_final.astype(in_dtype)
 
     def direct_sampling(self, unet_apply, params, noisy):
         """Single U-Net call at t=1.0 (ablation; diffusion_RDUnet_direct.py:198-201)."""

@@ -22,6 +22,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 from flax import linen as nn
 
 from ..nn.torch_layers import TorchConv
@@ -175,7 +177,7 @@ def load_lpips_torch(params_template, path: Optional[str] = None):
         return None
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _load_torch_payload(path)
     tree = jax.tree_util.tree_map(lambda x: x, params_template)  # copy
     p = tree["params"]
     for i in range(5):
@@ -184,7 +186,7 @@ def load_lpips_torch(params_template, path: Optional[str] = None):
             p[f"lin{i}"] = jnp.asarray(np.asarray(sd[key]).reshape(-1))
     alex_path = os.environ.get("ALEXNET_WEIGHTS")
     if alex_path and os.path.isfile(alex_path):
-        asd = torch.load(alex_path, map_location="cpu", weights_only=False)
+        asd = _load_torch_payload(alex_path)
         conv_ids = [0, 3, 6, 8, 10]
         for i, ti in enumerate(conv_ids):
             w = np.asarray(asd[f"features.{ti}.weight"])
@@ -210,7 +212,7 @@ def load_dists_torch(params_template, path: Optional[str] = None,
         return None
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _load_torch_payload(path)
     tree = jax.tree_util.tree_map(lambda x: x, params_template)  # copy
     p = tree["params"]
     for name in ("alpha", "beta"):
@@ -221,7 +223,7 @@ def load_dists_torch(params_template, path: Optional[str] = None,
             start += c
     vgg16_path = vgg16_path or os.environ.get("VGG16_WEIGHTS")
     if vgg16_path and os.path.isfile(vgg16_path):
-        vsd = torch.load(vgg16_path, map_location="cpu", weights_only=False)
+        vsd = _load_torch_payload(vgg16_path)
         if "state_dict" in vsd:
             vsd = vsd["state_dict"]
         conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]

@@ -17,6 +17,8 @@ import os
 from typing import Optional
 
 import jax
+
+from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,7 +83,7 @@ def load_torch_vgg19(params_template, path: Optional[str] = None, num_layers: in
     import numpy as np
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _load_torch_payload(path)
     if "state_dict" in sd:
         sd = sd["state_dict"]
     tree = dict(params_template["params"])

@@ -113,22 +113,55 @@ class TorchLinear(nn.Module):
         return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
+class _TorchBNCore(nn.Module):
+    """Manual BN core (named 'stats' to keep the checkpoint path convention)."""
+
+    features: int
+    momentum: float
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((f,), jnp.float32))
+        reduce_axes = tuple(range(x.ndim - 1))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)  # biased: normalizes
+            if not self.is_initializing():
+                # torch accumulates the UNBIASED (m/(m-1)) variance into running_var
+                # (BatchNorm2d docs) while normalizing with the biased one; flax's
+                # nn.BatchNorm accumulates the biased value — a (m-1)/m systematic
+                # drift visible when exporting to the torch reference for eval
+                m = x.size // x.shape[-1]
+                unbiased = var * (m / max(m - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
+
+
 class TorchBatchNorm(nn.Module):
-    """torch.nn.BatchNorm2d equivalent (momentum 0.1 torch = 0.9 flax, eps 1e-5)."""
+    """torch.nn.BatchNorm2d equivalent: eps 1e-5, torch momentum 0.1, and the
+    torch running-stat convention (unbiased variance accumulated, biased used for
+    normalization) — see _TorchBNCore."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        bn = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=x.dtype, name="stats",
-        )
-        return bn(x)
+        return _TorchBNCore(self.features, 0.1, 1e-5, name="stats")(x, train)
 
 
 def leaky_relu(x, slope=0.2):
-    return jnp.where(x >= 0, x, slope * x)
+    return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
 def max_pool_2x2(x):

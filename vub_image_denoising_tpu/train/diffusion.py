@@ -38,6 +38,7 @@ from ..diffusion.losses import combined_loss
 from ..models.rdunet import RDUNetT
 from ..parallel.mesh import make_mesh, put_replicated, shard_batch
 from ..utils import checkpoint as ckpt_io
+from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 from .schedules import make_optimizer
 from .state import TrainState
 from .supervised import effective_accumulation
@@ -268,7 +269,7 @@ class DiffusionTrainer:
             import torch
 
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
-            payload = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+            payload = _load_torch_payload(checkpoint_path)
             start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             state = put_replicated(restored, self.mesh)
             print(f"Loaded orbax sidecar '{sidecar}' (epoch {start_epoch})")

@@ -26,6 +26,7 @@ import optax
 
 from ..parallel.mesh import make_mesh, put_replicated, shard_batch
 from ..utils import checkpoint as ckpt_io
+from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 from .schedules import make_optimizer
 from .state import TrainState
 
@@ -216,7 +217,7 @@ class SupervisedTrainer:
             import torch
 
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
-            payload = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+            payload = _load_torch_payload(checkpoint_path)
             epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             return put_replicated(restored, self.mesh), epoch
         params, payload = ckpt_io.load_pth(checkpoint_path, state.params)

@@ -33,7 +33,27 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def _is_transpose_conv(path_names) -> bool:
-    return "conv_t" in path_names
+    """Transpose-conv param paths — their kernels are stored (kh,kw,cin,cout) =
+    torch ConvTranspose2d weight (Cin,Cout,kh,kw).transpose(2,3,0,1):
+    'conv_t' modules (nn/blocks.py UpsampleBlock, rca_gan.py DeconvBlock) and the
+    'upconvN' modules (attention_unet.py _UpconvN002, experimental.py UNet)."""
+    return any(n == "conv_t" or n.startswith("upconv") for n in path_names)
+
+
+def _torch_key(tnames) -> str:
+    """Dotted torch state_dict key for a hygienized flax path (shared by export
+    AND import so the naming rules cannot drift apart)."""
+    leafname = tnames[-1]
+    modname = tnames[:-1]
+    if leafname in ("kernel", "alpha", "scale"):  # conv/dense kernel, PReLU, BN scale
+        return ".".join(modname + ["weight"])
+    if leafname == "bias":
+        return ".".join(modname + ["bias"])
+    if leafname == "mean":
+        return ".".join(modname + ["running_mean"])
+    if leafname == "var":
+        return ".".join(modname + ["running_var"])
+    return ".".join(tnames)
 
 
 def _torch_key_and_tensor(names, leaf):
@@ -43,23 +63,14 @@ def _torch_key_and_tensor(names, leaf):
     'stats' sub-module level (nn/torch_layers.py TorchBatchNorm) are dropped.
     """
     names = [n for n in names if n not in ("core", "stats")]
-    leafname = names[-1]
-    modname = names[:-1]
-    if leafname == "kernel":
+    key = _torch_key(names)
+    if names[-1] == "kernel":
         if leaf.ndim == 2:  # dense: ours (in, out) -> torch (out, in)
-            return ".".join(modname + ["weight"]), leaf.T
+            return key, leaf.T
         if _is_transpose_conv(names):
-            return ".".join(modname + ["weight"]), leaf.transpose(2, 3, 0, 1)
-        return ".".join(modname + ["weight"]), leaf.transpose(3, 2, 0, 1)  # HWIO->OIHW
-    if leafname in ("alpha", "scale"):  # PReLU alpha / BN scale
-        return ".".join(modname + ["weight"]), leaf
-    if leafname == "bias":
-        return ".".join(modname + ["bias"]), leaf
-    if leafname == "mean":
-        return ".".join(modname + ["running_mean"]), leaf
-    if leafname == "var":
-        return ".".join(modname + ["running_var"]), leaf
-    return ".".join(names), leaf
+            return key, leaf.transpose(2, 3, 0, 1)
+        return key, leaf.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    return key, leaf
 
 
 def params_to_torch_state_dict(variables: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
@@ -106,18 +117,7 @@ def torch_state_dict_to_params(
             names = [p.key for p in path]
             tnames = [n for n in names if n not in ("core", "stats")]
             leafname = tnames[-1]
-            modname = tnames[:-1]
-            if leafname in ("kernel", "alpha", "scale"):
-                key = ".".join(modname + ["weight"])
-            elif leafname == "bias":
-                key = ".".join(modname + ["bias"])
-            elif leafname == "mean":
-                key = ".".join(modname + ["running_mean"])
-            elif leafname == "var":
-                key = ".".join(modname + ["running_var"])
-            else:
-                key = ".".join(tnames)
-            key = prefix + key
+            key = prefix + _torch_key(tnames)
             if key not in state_dict:
                 raise KeyError(
                     f"checkpoint missing '{key}' (for param {'/'.join(names)}); "
@@ -145,6 +145,22 @@ def torch_state_dict_to_params(
             out["batch_stats"] = convert_tree(params_template["batch_stats"])
         return out
     return convert_tree(params_template)
+
+
+def load_torch_payload(path: str):
+    """torch.load with the safe ``weights_only=True`` path first.
+
+    Reference-layout checkpoints and external weights (VGG/LPIPS/DISTS) are
+    tensors/ints/dicts and load safely; only our own .pth sidecars carrying a
+    pickled numpy optax tree ("optax_state") need the unsafe fallback — which
+    executes pickle code, so only trusted files should reach it.
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def save_pth(
@@ -189,9 +205,7 @@ def load_pth(
     Tolerates both dict-wrapped and bare state_dicts (evaluate_model.py:94-110).
     Returns (params, payload_dict_or_None).
     """
-    import torch
-
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    payload = load_torch_payload(path)
     if isinstance(payload, dict) and key in payload:
         sd = payload[key]
     else:
