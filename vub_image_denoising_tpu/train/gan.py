@@ -250,18 +250,25 @@ class RCAGANTrainer:
 
     def fit(self, state, train_loader, val_loader, num_epochs: int,
             key: Optional[jax.Array] = None, checkpoint_every: int = 10):
+        from ..utils.preempt import GracefulShutdown
+
         key = key if key is not None else jax.random.PRNGKey(0)
         history = []
-        for epoch in range(num_epochs):
-            t0 = time.time()
-            state, d_loss, g_loss = self.train_epoch(state, train_loader, key, epoch)
-            vloss = self.validate(state, val_loader, key, epoch)
-            if (epoch + 1) % checkpoint_every == 0:
-                self.save_checkpoint(state, epoch)
-            history.append({
-                "epoch": epoch, "d_loss": d_loss, "g_loss": g_loss,
-                "val_loss": vloss, "sec": time.time() - t0,
-            })
+        # SIGTERM/SIGINT (pool preemption) finishes the epoch, checkpoints, exits
+        with GracefulShutdown() as stop:
+            for epoch in range(num_epochs):
+                t0 = time.time()
+                state, d_loss, g_loss = self.train_epoch(state, train_loader, key, epoch)
+                vloss = self.validate(state, val_loader, key, epoch)
+                if stop.requested or (epoch + 1) % checkpoint_every == 0:
+                    self.save_checkpoint(state, epoch)
+                history.append({
+                    "epoch": epoch, "d_loss": d_loss, "g_loss": g_loss,
+                    "val_loss": vloss, "sec": time.time() - t0,
+                })
+                if stop.requested:
+                    print(f"[preempt] checkpointed through epoch {epoch + 1}; stopping")
+                    break
         return state, history
 
 
