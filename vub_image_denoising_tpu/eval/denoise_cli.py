@@ -132,6 +132,9 @@ def denoise_file(denoise_fn, in_path: str, out_path: str, grayscale: bool = Fals
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA compile cache across runs
     p = argparse.ArgumentParser(description="Denoise images with a trained checkpoint")
     p.add_argument("--checkpoint", required=True, help=".pth (reference layout)")
     p.add_argument("--arch", default="rdunet", choices=["rdunet", "diffusion"])

@@ -104,6 +104,9 @@ def main_benchmark(args):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA compile cache across runs
     p = argparse.ArgumentParser(description="SIDD evaluation / benchmark")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -428,8 +428,10 @@ def main(argv=None):
     # multi-host bootstrap (no-op unless JAX_COORDINATOR_ADDRESS is configured);
     # must run before the first jax.devices() touch
     from ..parallel.mesh import init_distributed
+    from ..utils.cache import enable_compilation_cache
 
     init_distributed()
+    enable_compilation_cache()  # persistent XLA compile cache across runs
     try:
         return train(args)
     except Exception as e:  # mirror the reference's top-level guard (:314-315)
