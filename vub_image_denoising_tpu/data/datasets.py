@@ -24,7 +24,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 PATCH_SIZE = 256
-IMAGE_EXTENSIONS = ("png", "jpg", "jpeg")
+# dotted: bare suffixes would match any name merely ENDING in "png"
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg")
 
 
 class DecodeCache:
@@ -185,7 +186,9 @@ class SIDDPatchDataset:
         data_folder = os.path.join(root_folder, "Data")
         scene_file = os.path.join(root_folder, "Scene_Instances.txt")
         with open(scene_file) as f:
-            scenes = f.read().splitlines()
+            # strip per line: CRLF/whitespace would make every isdir check fail
+            # and silently yield an EMPTY dataset
+            scenes = [line.strip() for line in f if line.strip()]
 
         self.image_pairs: List[Tuple[str, str]] = []
         for scene in scenes:
@@ -195,7 +198,19 @@ class SIDDPatchDataset:
             files = os.listdir(dir_path)
             noisy = sorted(os.path.join(dir_path, f) for f in files if "NOISY" in f)
             gt = sorted(os.path.join(dir_path, f) for f in files if "GT" in f)
+            if len(noisy) != len(gt):
+                import warnings
+
+                warnings.warn(
+                    f"SIDD scene '{scene}': {len(noisy)} NOISY vs {len(gt)} GT files; "
+                    f"pairing the first {min(len(noisy), len(gt))}", stacklevel=2,
+                )
             self.image_pairs.extend(zip(noisy, gt))
+        if scenes and not self.image_pairs:
+            raise FileNotFoundError(
+                f"no NOISY/GT pairs found under {data_folder} for the "
+                f"{len(scenes)} scenes listed in {scene_file}"
+            )
 
         self.patches: List[Tuple[str, str, int, int]] = []
         for noisy_path, gt_path in self.image_pairs:

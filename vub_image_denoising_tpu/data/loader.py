@@ -139,6 +139,19 @@ class PatchLoader:
                 host = _collate(items)
             return host, step
 
+        def _batch_axis_shards(sh):
+            """Number of ways dim 0 is split — the product of the mesh-axis sizes
+            in the spec's first entry (NOT sh.num_devices: on a multi-axis mesh,
+            e.g. ('data','tile'), only the 'data' extent divides the batch)."""
+            spec = getattr(sh, "spec", None)
+            if spec is None or len(spec) == 0 or spec[0] is None:
+                return 1
+            axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+            n = 1
+            for a in axes:
+                n *= sh.mesh.shape[a]
+            return n
+
         def to_device(host, step):
             batch = host
             if self.sharding is not None:
@@ -147,12 +160,13 @@ class PatchLoader:
                 # batch of an epoch) cannot be split; fall back to single-device
                 # placement for it — LOUDLY, since a non-divisible batch_size
                 # would silently disable data parallelism for the whole run
-                if batch and batch[0].shape[0] % sh.num_devices != 0:
+                n_shards = _batch_axis_shards(sh) if batch else 1
+                if batch and batch[0].shape[0] % n_shards != 0:
                     if jax.process_count() > 1:
                         raise ValueError(
-                            f"batch of {batch[0].shape[0]} is not divisible by the "
-                            f"{sh.num_devices}-device mesh; in a multi-process run "
-                            "every batch must split evenly — pick a divisible "
+                            f"batch of {batch[0].shape[0]} does not split over the "
+                            f"{n_shards}-way sharded batch axis; in a multi-process "
+                            "run every batch must split evenly — pick a divisible "
                             "batch_size"
                         )
                     if not getattr(self, "_warned_fallback", False):
@@ -160,10 +174,10 @@ class PatchLoader:
                         import warnings
 
                         warnings.warn(
-                            f"batch of {batch[0].shape[0]} is not divisible by the "
-                            f"{sh.num_devices}-device mesh; placing it on ONE device "
-                            "(no data parallelism for such batches). Use a "
-                            "batch_size divisible by the device count.",
+                            f"batch of {batch[0].shape[0]} does not split over the "
+                            f"{n_shards}-way sharded batch axis; placing it on ONE "
+                            "device (no data parallelism for such batches). Use a "
+                            "divisible batch_size.",
                             stacklevel=2,
                         )
                     sh = None
@@ -228,9 +242,14 @@ def _split_loaders(
         train_ds, batch_size, shuffle=True, transform=train_transform,
         key=k_train, sharding=sharding, num_workers=num_workers, seed=seed,
     )
+    # validation keeps the tail batch: drop_last would yield ZERO val batches for
+    # small splits (val_size < batch_size) and permanently exclude up to
+    # batch_size-1 samples from every metric; the occasional short batch only
+    # costs one extra XLA compile (and falls back to one device under a mesh)
     val_loader = PatchLoader(
         val_ds, batch_size, shuffle=False, transform=val_transform,
         key=k_val, sharding=sharding, num_workers=num_workers, seed=seed,
+        drop_last=False,
     )
     return train_loader, val_loader
 

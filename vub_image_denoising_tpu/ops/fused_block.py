@@ -205,19 +205,26 @@ def fused_denoising_block(x, params, tile_rows=None, interpret=False, tap_groups
     wp = w + 8
 
     inner = k0.shape[-1]
+    if tap_groups is not None:
+        tap_groups = tuple(tap_groups)  # jit-static: lists are unhashable
+        assert len(tap_groups) == 4 and all(g in (1, 3, 9) for g in tap_groups), (
+            f"tap_groups must be 4 values from {{1,3,9}}, got {tap_groups}"
+        )
     groups = list(tap_groups) if tap_groups else [_tap_group(inner)] * 3 + [_tap_group(cout)]
     if tile_rows is None:
         # VMEM budget: fixed costs (conv weights resident in VMEM) plus a per-row
         # footprint — double-buffered slab, widest concat input, the tap-stacked f32
         # y (group*N wide, one group live at a time), f32 accumulator/residual,
         # the three kept intermediates.  Mosaic's stacked scoped allocation runs
-        # ~1.6-2x naive estimates, so target 8MB of the 16MB VMEM.
+        # ~1.6-2x naive estimates, so target 8MB of the 16MB VMEM.  Buffers whose
+        # dtype follows x.dtype are costed at its itemsize (f32 inputs double them).
+        es = jnp.dtype(dtype).itemsize
         ktots = [cin, cin + inner, cin + 2 * inner, cin + 3 * inner]
-        weight_bytes = sum(9 * kt * (inner if i < 3 else cin) * 2
+        weight_bytes = sum(9 * kt * (inner if i < 3 else cin) * es
                            for i, kt in enumerate(ktots))
         ymax = max(g * (inner if i < 3 else cout) for i, g in enumerate(groups))
         bytes_per_row = wp * (
-            2 * 2 * cin + 2 * max(ktots) + 4 * ymax + 8 * cin + 6 * inner
+            2 * es * cin + es * max(ktots) + 4 * ymax + 8 * cin + 3 * es * inner
         )
         avail = (8 << 20) - weight_bytes
         tile_rows = max(4, avail // max(1, bytes_per_row))
@@ -369,12 +376,13 @@ def fused_denoising_block_packed(xq, packed_params, tile_rows=None, interpret=Fa
     w0, w1, w2, w3 = (packed_params[f"conv_{i}"]["kernel"] for i in range(4))
     inner4 = w0.shape[1] // 4  # = 4*inner
     if tile_rows is None:
+        es = jnp.dtype(dtype).itemsize
         ktot4 = w3.shape[0]  # 4*(c + 3*inner)
-        weight_bytes = sum(w.size * 2 for w in (w0, w1, w2, w3))
+        weight_bytes = sum(w.size * es for w in (w0, w1, w2, w3))
         # double-buffered slab + shifted concat copy + 16N-wide f32 y4 + f32 acc
-        # + intermediates
+        # + intermediates (dtype-following buffers costed at x.dtype's itemsize)
         bytes_per_row = wqp * (
-            2 * 2 * c4 + 2 * ktot4 + 16 * max(inner4, c4) + 8 * c4 + 6 * inner4
+            2 * es * c4 + es * ktot4 + 16 * max(inner4, c4) + 8 * c4 + 3 * es * inner4
         )
         avail = (8 << 20) - weight_bytes
         tile_rows = max(2, avail // max(1, bytes_per_row))

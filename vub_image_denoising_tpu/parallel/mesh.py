@@ -103,10 +103,10 @@ def make_global_batch(x, sharding: NamedSharding):
     """
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
-    import jax.numpy as jnp
-
     x = np.asarray(x)
-    return jax.make_array_from_callback(x.shape, sharding, lambda idx: jnp.asarray(x[idx]))
+    # return the numpy slice directly: wrapping it in jnp.asarray would stage
+    # every shard through the default device before its copy to the owning one
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def all_processes_mean(x):

@@ -20,11 +20,13 @@ def denoise_large_image(apply_fn, params, image, mesh=None, axis="data",
     """Denoise one (H, W, C) image with rows sharded across the mesh.
 
     ``apply_fn(params, batch)`` is any NHWC forward (e.g. RDUNet.apply).  The image is
-    zero-padded so H is divisible by devices*pad_to (the U-Net needs H, W divisible by
-    8 for its three downsamplings), sharded on the row axis, processed, and cropped.
+    reflect-padded so H is divisible by devices*pad_to (the U-Net needs H, W divisible
+    by 8 for its three downsamplings), sharded on the row axis, processed, and cropped.
+    Reflect (not zero) padding matches the single-device path of the denoise CLI
+    (eval/denoise_cli.py), so --tile-parallel does not change border pixels' context.
 
-    Note: as with any zero-padding strategy, output values within the network's
-    receptive field of the bottom/right borders depend on the padded canvas size.
+    Note: output values within the network's receptive field of the bottom/right
+    borders still depend on the padded canvas extent.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -33,7 +35,10 @@ def denoise_large_image(apply_fn, params, image, mesh=None, axis="data",
     mult_h = n_dev * pad_to
     hp = -(-h // mult_h) * mult_h
     wp = -(-w // 8) * 8  # W only needs the U-Net's own divisibility (3 downsamples)
-    x = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))[None]
+    # reflect needs pad < dim; tiny images on many devices can need more — edge
+    # (replicate) is the closest fallback
+    mode = "reflect" if (hp - h) < h and (wp - w) < w else "edge"
+    x = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)), mode=mode)[None]
 
     params = put_replicated(params, mesh)
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))

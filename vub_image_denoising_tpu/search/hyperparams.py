@@ -98,10 +98,12 @@ def save_trial_results(trial, value, csv_path="trial_results.csv"):
     row = dict(trial.params)
     row["psnr"] = -value
     df = pd.DataFrame([row])
-    if not os.path.exists(csv_path):
-        df.to_csv(csv_path, index=False)
-    else:
-        df.to_csv(csv_path, mode="a", header=False, index=False)
+    if os.path.exists(csv_path):
+        # read-merge-rewrite instead of header-less append: trials can have
+        # different param sets (e.g. weight_decay only for adamw), and a blind
+        # append would misalign values under the first trial's header
+        df = pd.concat([pd.read_csv(csv_path), df], ignore_index=True)
+    df.to_csv(csv_path, index=False)
 
 
 def run_search(train_loader, val_loader, n_trials: int = 50, num_epochs: int = 5,

@@ -202,7 +202,12 @@ def create_study(direction: str = "minimize", seed: int = 0, prefer_optuna: bool
         try:
             import optuna
 
-            return optuna.create_study(direction=direction)
+            # seed the TPE sampler so "deterministic under a fixed seed" holds
+            # with real optuna too, not only with the built-in engine
+            return optuna.create_study(
+                direction=direction,
+                sampler=optuna.samplers.TPESampler(seed=seed),
+            )
         except ImportError:
             pass
     return _Study(direction=direction, seed=seed)
