@@ -46,14 +46,17 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.bfloat16) * 2 - 1
     params = jax.jit(model.init)(key, jnp.zeros((1, size, size, 3)))
 
+    n_chips = 1
     if os.environ.get("BENCH_DP", "0") == "1" and len(jax.devices()) > 1:
         # data-parallel: batch sharded over the mesh, params replicated — the
-        # multi-chip path (per-chip MP/s = value / n_devices on a slice)
+        # multi-chip path; aggregate MP/s is divided by n_chips below so the
+        # reported unit stays honestly per-chip
         from vub_image_denoising_tpu.parallel.mesh import (
             make_mesh, put_replicated, shard_batch,
         )
 
         mesh = make_mesh()
+        n_chips = len(jax.devices())
         x = jax.device_put(x, shard_batch(mesh))
         params = put_replicated(params, mesh)
 
@@ -89,7 +92,7 @@ def bench_rdunet(base_filters=32, batch=16, size=256, iters=20, warmup=3, fused=
                 y = fwd(params, x)
             _ = jax.device_get(y[0, 0, 0, 0])
             dt = time.perf_counter() - t0
-            mp = batch * size * size * iters / 1e6 / dt
+            mp = batch * size * size * iters / 1e6 / dt / n_chips
             if mp > best:
                 best, best_engine = mp, kind
         except Exception as e:

@@ -12,7 +12,9 @@ import numpy as np
 from vub_image_denoising_tpu.parallel.mesh import (
     all_processes_mean,
     init_distributed,
+    local_batch_rows,
     make_global_batch,
+    make_global_batch_from_local,
     make_mesh,
     shard_batch,
 )
@@ -45,6 +47,63 @@ def test_make_global_batch_callback_path(monkeypatch):
     shard_shapes = {tuple(s.data.shape) for s in got.addressable_shards}
     n = mesh.devices.size
     assert shard_shapes == {(8 // n, 4, 4, 3)}
+
+
+def test_local_rows_cover_all_devices_and_assembly_matches():
+    # single process: every device is addressable, so the local rows are ALL
+    # rows and the from-local assembly must equal the full-fetch assembly
+    mesh = make_mesh()
+    sh = shard_batch(mesh)
+    n = max(8, mesh.devices.size)
+    rows = local_batch_rows(sh, n)
+    assert rows == list(range(n))
+    x = np.random.RandomState(1).randn(n, 4, 3).astype(np.float32)
+    got = make_global_batch_from_local(x, rows, n, sh)
+    np.testing.assert_array_equal(np.asarray(got), x)
+    assert got.sharding == sh
+
+
+def test_local_rows_subset_assembly(monkeypatch):
+    # feed a PERMUTED local subset covering all shards: the callback must place
+    # every row by translated position, not assume the identity layout
+    mesh = make_mesh()
+    sh = shard_batch(mesh)
+    n = max(8, mesh.devices.size)
+    x = np.random.RandomState(2).randn(n, 5).astype(np.float32)
+    rows = list(range(n))
+    perm = np.random.RandomState(3).permutation(n)
+    got = make_global_batch_from_local(x[perm], [int(r) for r in perm], n, sh)
+    np.testing.assert_array_equal(np.asarray(got), x)
+
+
+def test_loader_sharded_fetch_matches_full_fetch(monkeypatch):
+    # pretend-2-process run on one process: VUB_SHARDED_FETCH=1 must yield
+    # byte-identical device batches to the full-fetch path, incl. tail trimming
+    from vub_image_denoising_tpu.data.loader import PatchLoader
+
+    class DS:
+        channels = 3
+
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(100 + i)
+            return rng.randint(0, 255, (6, 6, 3)).astype(np.uint8), float(i)
+
+    mesh = make_mesh()
+    sh = shard_batch(mesh)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    out = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("VUB_SHARDED_FETCH", mode)
+        loader = PatchLoader(DS(), batch_size=8, shuffle=True, sharding=sh,
+                             drop_last=False, seed=11)
+        out[mode] = [[np.asarray(c) for c in b] for b in loader]
+    assert len(out["1"]) == len(out["0"])
+    for b1, b0 in zip(out["1"], out["0"]):
+        for c1, c0 in zip(b1, b0):
+            np.testing.assert_array_equal(c1, c0)
 
 
 def test_all_processes_mean_identity_and_gather_path(monkeypatch):

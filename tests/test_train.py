@@ -126,6 +126,50 @@ def test_diffusion_trainer_epoch_and_resume(tmp_path):
     assert e0 == 0
 
 
+def test_torch_pth_resume_fast_forwards_schedule(tmp_path):
+    """Resuming from a reference-written .pth (model_state_dict + epoch +
+    scheduler_state_dict, NO optax payload) must fast-forward the optax
+    schedule/Adam counters to epoch*steps_per_epoch — the information the
+    reference restores via scheduler_state_dict (diffusion_RDUnet.py:186-189)."""
+    from vub_image_denoising_tpu.utils import checkpoint as ckpt_io
+
+    trainer = DiffusionTrainer(base_filters=4, timesteps=4, output_dir=str(tmp_path))
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)),
+                         steps_per_epoch=7)
+    # a torch-reference-shaped checkpoint: epoch 3, no optax_state
+    path = str(tmp_path / "ref.pth")
+    ckpt_io.save_pth(
+        path, state.params, epoch=3, prefix="unet.",
+        extra={"optimizer_state_dict": {}, "scheduler_state_dict": {"last_epoch": 3}},
+    )
+    state2, start_epoch = trainer.load_checkpoint(state, path)
+    assert start_epoch == 3
+    expect = 3 * 7
+    assert int(state2.step) == expect
+    counts = [
+        int(leaf) for leaf in jax.tree_util.tree_leaves(state2.opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer)
+        and np.ndim(leaf) == 0
+    ]
+    assert counts and all(c == expect for c in counts), counts
+    # and the supervised trainer does the same
+    model = RDUNet(channels=3, base_filters=4)
+    st = SupervisedTrainer(model, checkpoint_dir=str(tmp_path))
+    s_state = st.init(jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)),
+                      steps_per_epoch=5)
+    spath = str(tmp_path / "ref_sup.pth")
+    ckpt_io.save_pth(spath, s_state.params, extra={"epoch": 2,
+                                                   "optimizer_state_dict": {}})
+    s_state2, ep = st.load_checkpoint(s_state, spath)
+    assert ep == 2 and int(s_state2.step) == 10
+    s_counts = [
+        int(leaf) for leaf in jax.tree_util.tree_leaves(s_state2.opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer)
+        and np.ndim(leaf) == 0
+    ]
+    assert s_counts and all(c == 10 for c in s_counts), s_counts
+
+
 def test_supervised_orbax_resume_is_exact(tmp_path):
     """SupervisedTrainer.maybe_checkpoint writes the orbax sidecar and
     load_checkpoint resumes the full state (params + optax) bit-exactly."""

@@ -128,16 +128,49 @@ class PatchLoader:
         self.epoch += 1
 
         gather = getattr(self.dataset, "gather_batch", None)
+        # Multi-host: fetch/decode ONLY the rows this process's devices own —
+        # O(global_batch / n_processes) host work per process instead of every
+        # host decoding the full global batch (VUB_SHARDED_FETCH=0 restores the
+        # redundant full-fetch path for debugging).
+        import os as _os
+
+        sharded_fetch = (
+            self.sharding is not None
+            and jax.process_count() > 1
+            and _os.environ.get("VUB_SHARDED_FETCH", "1") != "0"
+        )
+
+        def fetch_rows(batch_idx):
+            if gather is not None:
+                # batched path: decode-cache + native patch gather (one C call)
+                return tuple(gather(batch_idx))
+            items = [self.dataset[int(i)] for i in batch_idx]
+            return _collate(items)
 
         def fetch(batch_idx_and_step):
             batch_idx, step = batch_idx_and_step
-            if gather is not None:
-                # batched path: decode-cache + native patch gather (one C call)
-                host = tuple(gather(batch_idx))
-            else:
-                items = [self.dataset[int(i)] for i in batch_idx]
-                host = _collate(items)
-            return host, step
+            if sharded_fetch:
+                from ..parallel.mesh import local_batch_rows
+
+                n_shards = _batch_axis_shards(self.sharding)
+                keep = (len(batch_idx) // n_shards) * n_shards
+                if keep < len(batch_idx) and not getattr(self, "_warned_trim", False):
+                    self._warned_trim = True
+                    import warnings
+
+                    warnings.warn(
+                        f"batch of {len(batch_idx)} does not split over the "
+                        f"{n_shards}-way sharded batch axis in a multi-process "
+                        f"run; trimming to {keep} samples "
+                        "(pick a divisible batch_size to keep them all)",
+                        stacklevel=2,
+                    )
+                if keep == 0:
+                    return None, None, step  # tail smaller than the mesh: skip
+                rows = local_batch_rows(self.sharding, keep)
+                host = fetch_rows(np.asarray(batch_idx)[:keep][rows])
+                return host, (rows, keep), step
+            return fetch_rows(batch_idx), None, step
 
         def _batch_axis_shards(sh):
             """Number of ways dim 0 is split — the product of the mesh-axis sizes
@@ -152,9 +185,19 @@ class PatchLoader:
                 n *= sh.mesh.shape[a]
             return n
 
-        def to_device(host, step):
+        def to_device(host, meta, step):
             batch = host
-            if self.sharding is not None:
+            if meta is not None:
+                # sharded-fetch path: host holds only this process's rows;
+                # assemble the global array shard-by-shard
+                from ..parallel.mesh import make_global_batch_from_local
+
+                rows, keep = meta
+                batch = tuple(
+                    make_global_batch_from_local(x, rows, keep, self.sharding)
+                    for x in batch
+                )
+            elif self.sharding is not None:
                 sh = self.sharding
                 # a batch not divisible by the sharded axis (e.g. the short tail
                 # batch of an epoch) cannot be split; fall back to single-device
@@ -163,24 +206,38 @@ class PatchLoader:
                 n_shards = _batch_axis_shards(sh) if batch else 1
                 if batch and batch[0].shape[0] % n_shards != 0:
                     if jax.process_count() > 1:
-                        raise ValueError(
-                            f"batch of {batch[0].shape[0]} does not split over the "
-                            f"{n_shards}-way sharded batch axis; in a multi-process "
-                            "run every batch must split evenly — pick a divisible "
-                            "batch_size"
-                        )
-                    if not getattr(self, "_warned_fallback", False):
-                        self._warned_fallback = True
-                        import warnings
+                        # Multi-process: every process must place the same global
+                        # shape, so a single-device fallback is impossible.  Trim
+                        # the tail batch to the largest shard multiple (metrics
+                        # lose <n_shards samples) rather than crash validation.
+                        keep = (batch[0].shape[0] // n_shards) * n_shards
+                        if not getattr(self, "_warned_trim", False):
+                            self._warned_trim = True
+                            import warnings
 
-                        warnings.warn(
-                            f"batch of {batch[0].shape[0]} does not split over the "
-                            f"{n_shards}-way sharded batch axis; placing it on ONE "
-                            "device (no data parallelism for such batches). Use a "
-                            "divisible batch_size.",
-                            stacklevel=2,
-                        )
-                    sh = None
+                            warnings.warn(
+                                f"batch of {batch[0].shape[0]} does not split over "
+                                f"the {n_shards}-way sharded batch axis in a "
+                                f"multi-process run; trimming to {keep} samples "
+                                "(pick a divisible batch_size to keep them all)",
+                                stacklevel=2,
+                            )
+                        if keep == 0:
+                            return None  # tail smaller than the mesh: skip it
+                        batch = tuple(x[:keep] for x in batch)
+                    else:
+                        if not getattr(self, "_warned_fallback", False):
+                            self._warned_fallback = True
+                            import warnings
+
+                            warnings.warn(
+                                f"batch of {batch[0].shape[0]} does not split over "
+                                f"the {n_shards}-way sharded batch axis; placing it "
+                                "on ONE device (no data parallelism for such "
+                                "batches). Use a divisible batch_size.",
+                                stacklevel=2,
+                            )
+                        sh = None
                 from ..parallel.mesh import make_global_batch
 
                 batch = tuple(
@@ -210,10 +267,13 @@ class PatchLoader:
             device_queue = collections.deque()
             while futures or device_queue:
                 while futures and len(device_queue) <= self.prefetch:
-                    host, step = futures.popleft().result()
-                    device_queue.append(to_device(host, step))
+                    host, meta, step = futures.popleft().result()
+                    dev = to_device(host, meta, step) if host is not None else None
+                    if dev is not None:  # None = multi-process-skipped tail batch
+                        device_queue.append(dev)
                     submit_next()
-                yield device_queue.popleft()
+                if device_queue:
+                    yield device_queue.popleft()
 
 
 def _split_loaders(
@@ -245,7 +305,8 @@ def _split_loaders(
     # validation keeps the tail batch: drop_last would yield ZERO val batches for
     # small splits (val_size < batch_size) and permanently exclude up to
     # batch_size-1 samples from every metric; the occasional short batch only
-    # costs one extra XLA compile (and falls back to one device under a mesh)
+    # costs one extra XLA compile (single-process: placed on one device;
+    # multi-process: trimmed to a shard multiple — see PatchLoader.to_device)
     val_loader = PatchLoader(
         val_ds, batch_size, shuffle=False, transform=val_transform,
         key=k_val, sharding=sharding, num_workers=num_workers, seed=seed,

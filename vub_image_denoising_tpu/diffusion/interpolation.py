@@ -95,6 +95,18 @@ class InterpolationDiffusion:
         x_final, _ = jax.lax.scan(step, noisy32, ts)
         return x_final.astype(in_dtype)
 
+    def forward(self, unet_apply, params, clean, noisy, t, unroll=1):
+        """Forward-diffuse then fully re-sample (diffusion_RDUnet.py:52-55).
+
+        The reference's ``DiffusionModel.forward`` composes
+        ``forward_diffusion(clean, noisy, t)`` with ``improved_sampling`` applied
+        to the *interpolated* image — i.e. the interpolation acts as BOTH the
+        sampler's starting point x_T and its per-step anchor (the reference
+        passes it as improved_sampling's ``noisy_image``).
+        """
+        interpolated = self.forward_diffusion(clean, noisy, t)
+        return self.improved_sampling(unet_apply, params, interpolated, unroll=unroll)
+
     def direct_sampling(self, unet_apply, params, noisy):
         """Single U-Net call at t=1.0 (ablation; diffusion_RDUnet_direct.py:198-201)."""
         n = noisy.shape[0]

@@ -148,8 +148,12 @@ def evaluate_model_and_plot(
         try:
             import bm3d  # noqa: F401
         except ImportError:
-            print("bm3d package not available; skipping BM3D baseline.")
-            use_bm3d = False
+            # no egress -> pip bm3d absent; the native numpy two-stage
+            # implementation (ops/bm3d.py) is call-compatible and keeps the
+            # reference's BM3D curves producible in this environment
+            from ..ops import bm3d  # noqa: F401
+
+            print("bm3d package not available; using the native BM3D implementation.")
 
     for epoch, dpath in zip(epochs, diffusion_model_paths):
         dummy = jnp.zeros((1, 64, 64, 3))
@@ -164,15 +168,18 @@ def evaluate_model_and_plot(
                 degraded, gt = data
                 noise_levels = None
 
+            # completion forced via device_get, not block_until_ready: on the axon
+            # runtime block_until_ready can return before execution finishes
+            # (CLAUDE.md); this is our cuda.synchronize (evaluate_model.py:126-143)
             t0 = time.perf_counter()
             pred_diffusion = sampler(diff_params, degraded)
-            pred_diffusion.block_until_ready()
+            jax.device_get(pred_diffusion[0, 0, 0, 0])
             inference_times["diffusion"].append(time.perf_counter() - t0)
 
             if evaluate_unet:
                 t0 = time.perf_counter()
                 pred_unet = unet_fwd(unet_params, degraded)
-                pred_unet.block_until_ready()
+                jax.device_get(pred_unet[0, 0, 0, 0])
                 inference_times["unet"].append(time.perf_counter() - t0)
             else:
                 pred_unet = pred_diffusion
@@ -198,7 +205,10 @@ def evaluate_model_and_plot(
 
                 if use_bm3d:
                     try:
-                        import bm3d
+                        try:
+                            import bm3d
+                        except ImportError:
+                            from ..ops import bm3d
 
                         deg01 = denormalize(degraded_np[j]).mean(axis=-1)
                         gt01 = denormalize(gt_np[j]).mean(axis=-1)

@@ -111,8 +111,18 @@ def evaluate_sidd(
     pending = []  # (psnr_vec, ssim_vec, count) — scalars only, big arrays released
     samples = []  # (noisy, gt, out) host triples for the debug plot
     first_inputs = None
-    t_loop0 = time.perf_counter()
     inputs = make_inputs(batches[0]) if batches else None
+    # Warm up sampler + metrics on the first batch BEFORE the wall timer: with a
+    # cold XLA cache the remote compile takes minutes and would swamp the
+    # per-block number (the reference's timer also measures executed kernels
+    # only — CUDA caches compiled kernels process-wide).  Reported separately.
+    warmup_compile_ms = 0.0
+    if inputs is not None:
+        t_c0 = time.perf_counter()
+        w_p, _ = batch_metrics(inputs[1], sampler(inputs[0]))
+        jax.device_get(w_p)
+        warmup_compile_ms = (time.perf_counter() - t_c0) * 1000.0
+    t_loop0 = time.perf_counter()
 
     def sync(entry):
         p_vec, s_vec, cnt = entry
@@ -161,6 +171,7 @@ def evaluate_sidd(
         "avg_ssim": float(np.mean(ssims)),
         "avg_inference_time_ms": wall_ms / max(1, n_eval),
         "device_inference_time_ms": device_ms,
+        "warmup_compile_ms": warmup_compile_ms,  # first-call compile, excluded above
         "n_blocks": len(psnrs),
     }
     if csv_path:

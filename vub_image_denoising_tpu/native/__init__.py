@@ -120,6 +120,15 @@ def gather_patches(
         if (f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != c
                 or f.strides[1] != f.shape[2] or f.strides[2] != 1):
             return _gather_numpy(frames, tops, lefts, patch)  # exotic layout: fallback
+        # bounds check BEFORE handing raw pointers to C: a patch window past the
+        # frame edge (e.g. SIDD origins indexed from a larger NOISY frame against
+        # a smaller GT frame) must raise like the numpy path, not read OOB memory
+        t, l = int(tops[i]), int(lefts[i])
+        if t < 0 or l < 0 or t + patch > f.shape[0] or l + patch > f.shape[1]:
+            raise ValueError(
+                f"gather_patches: patch window [{t}:{t + patch}, {l}:{l + patch}] "
+                f"exceeds frame {i} of shape {f.shape[:2]}"
+            )
         srcs[i] = f.ctypes.data
         row_bytes[i] = f.strides[0]
         tops_c[i] = int(tops[i])

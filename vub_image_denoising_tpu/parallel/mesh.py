@@ -109,6 +109,53 @@ def make_global_batch(x, sharding: NamedSharding):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
+def local_batch_rows(sharding: NamedSharding, n_rows: int):
+    """Global batch-dim rows owned by THIS process's addressable devices.
+
+    Returns a sorted list of row indices (the union of the dim-0 slices of every
+    addressable device under ``sharding`` for a batch of ``n_rows``).  This is
+    what lets a multi-host input pipeline fetch/decode only O(global_batch /
+    n_processes) samples per host instead of the full global batch (VERDICT r2
+    gap #4): the loader gathers exactly these rows and
+    ``make_global_batch_from_local`` assembles the global array from them.
+    """
+    spec0 = sharding.spec[0] if len(sharding.spec) else None
+    row_sharding = NamedSharding(sharding.mesh, P(spec0))
+    idx_map = row_sharding.addressable_devices_indices_map((n_rows,))
+    rows = set()
+    for idx in idx_map.values():
+        sl = idx[0]
+        rows.update(range(sl.start or 0, n_rows if sl.stop is None else sl.stop))
+    return sorted(rows)
+
+
+def make_global_batch_from_local(x_local, rows, n_global: int, sharding: NamedSharding):
+    """Assemble a global array when this process holds only its own rows.
+
+    ``x_local``: host array of shape (len(rows), ...) holding the rows returned
+    by :func:`local_batch_rows` in that order.  Each addressable shard's callback
+    slices out of ``x_local`` by translated position — no process ever
+    materializes the full global batch.
+    """
+    x_local = np.asarray(x_local)
+    pos = {r: i for i, r in enumerate(rows)}
+    shape = (n_global,) + x_local.shape[1:]
+
+    def cb(idx):
+        sl = idx[0]
+        sel = [pos[r] for r in range(sl.start or 0,
+                                     n_global if sl.stop is None else sl.stop)]
+        want = np.asarray(sel)
+        # contiguous fast path: a view instead of a fancy-index copy
+        if len(want) and np.all(np.diff(want) == 1):
+            block = x_local[want[0] : want[-1] + 1]
+        else:
+            block = x_local[want]
+        return block[(slice(None),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
 def all_processes_mean(x):
     """Mean of a per-process scalar/array across processes (eval metric reduction).
 

@@ -159,6 +159,7 @@ class DiffusionTrainer:
 
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
+        self.steps_per_epoch = max(1, steps_per_epoch)
         n = sample_noisy.shape[0]
         params = jax.jit(self.unet.init)(key, sample_noisy, jnp.zeros((n,)))
         self.tx = make_optimizer(
@@ -269,24 +270,34 @@ class DiffusionTrainer:
             import torch
 
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
-            payload = _load_torch_payload(checkpoint_path)
+            payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             state = put_replicated(restored, self.mesh)
             print(f"Loaded orbax sidecar '{sidecar}' (epoch {start_epoch})")
             return state, start_epoch
-        params, payload = ckpt_io.load_pth(checkpoint_path, state.params, prefix="unet.")
+        params, payload = ckpt_io.load_pth(
+            checkpoint_path, state.params, prefix="unet.", allow_pickle=True
+        )
         start_epoch = int(payload.get("epoch", 0)) if payload else 0
         opt_state = state.opt_state
+        resume_step = start_epoch * getattr(self, "steps_per_epoch", 1)
         if payload and "optax_state" in payload:
             opt_state = jax.tree_util.tree_map(
                 lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
                 state.opt_state,
                 payload["optax_state"],
             )
+        elif start_epoch > 0:
+            # reference-written .pth: no optax payload, but the reference restores
+            # scheduler position (diffusion_RDUnet.py:186-189) — fast-forward the
+            # schedule/Adam counters so the LR resumes at the right global step
+            from .schedules import fast_forward_opt_state
+
+            opt_state = fast_forward_opt_state(opt_state, resume_step)
         state = TrainState(
             params=params,
             opt_state=opt_state,
-            step=jnp.asarray(start_epoch * 0, jnp.int32),
+            step=jnp.asarray(resume_step, jnp.int32),
         )
         state = put_replicated(state, self.mesh)
         print(f"Loaded checkpoint '{checkpoint_path}' (epoch {start_epoch})")

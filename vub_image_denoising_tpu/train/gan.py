@@ -188,8 +188,29 @@ class RCAGANTrainer:
                 parts,
             )
 
+        def val_loss(state: GANTrainState, key, degraded, gt, vgg_params):
+            # Reference validation (paper_gan.py bytecode :415-424): generator.eval(),
+            # no_grad, loss = multimodal_loss(G(degraded), gt, degraded) summed over
+            # val_loader then /= len(val_loader) — the FULL generator objective
+            # (perceptual + content + texture + WGAN-GP adversarial), not plain L1.
+            # D batch-stats handling matches d_apply_frozen (documented deviation:
+            # torch updates D running stats during no_grad val; we discard them).
+            fake = gen.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                degraded, train=False,
+            )
+            total, _ = multimodal_loss(
+                lambda p, x: vgg.apply(p, x), vgg_params,
+                lambda p, x: d_apply_frozen(p, state.d_stats, x), state.d_params,
+                key, fake, gt,
+                lambda1=self.lambda_pixel, lambda2=self.lambda_perceptual,
+                lambda3=self.lambda_texture, lambda4=1.0, lambda_gp=lam_gp,
+            )
+            return total
+
         self._jit_d_step = jax.jit(d_step, donate_argnums=(0,))
         self._jit_g_step = jax.jit(g_step, donate_argnums=(0,))
+        self._jit_val_loss = jax.jit(val_loss)
         self._jit_gen_eval = jax.jit(
             lambda params, stats, x: gen.apply(
                 {"params": params, "batch_stats": stats}, x, train=False
@@ -216,11 +237,17 @@ class RCAGANTrainer:
         return state, float(jnp.mean(jnp.stack(d_losses))), float(jnp.mean(jnp.stack(g_losses)))
 
     def validate(self, state, val_loader, key, epoch: int):
-        """Per-epoch validation loss over the val loader ('Loss/Validation')."""
+        """Per-epoch validation loss over the val loader ('Loss/Validation').
+
+        Matches the bytecode-recovered reference exactly (paper_gan.py :415-425):
+        eval-mode generator, full multimodal objective per batch, mean over the
+        loader.  The GP's per-sample eps draws use a fresh fold of ``key``."""
         losses = []
         for batch_idx, (degraded, gt) in enumerate(val_loader):
-            fake = self._jit_gen_eval(state.g_params, state.g_stats, degraded)
-            losses.append(float(jnp.mean(jnp.abs(fake - gt))))
+            k = jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
+            losses.append(float(
+                self._jit_val_loss(state, k, degraded, gt, self.vgg_params)
+            ))
         vloss = float(np.mean(losses)) if losses else float("nan")
         if self.writer is not None:
             self.writer.add_scalar("Loss/Validation", vloss, epoch + 1)

@@ -65,3 +65,25 @@ def make_optimizer(
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+def fast_forward_opt_state(opt_state, step_count: int):
+    """Set every scalar integer counter in an optax state to ``step_count``.
+
+    Used when resuming from a reference-written .pth that carries epoch +
+    ``scheduler_state_dict`` but no optax payload (diffusion_RDUnet.py:186-189
+    restores the torch scheduler position): the LR schedule and Adam bias
+    correction resume at the right global step even though the moment buffers
+    restart at zero.  All counters in a fresh optax chain are the same global
+    step, so a uniform overwrite is exact for the chains built here
+    (clip -> adam/adamw/adadelta with scale_by_schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    def ff(leaf):
+        if (hasattr(leaf, "dtype") and hasattr(leaf, "ndim")
+                and jnp.issubdtype(leaf.dtype, jnp.integer) and leaf.ndim == 0):
+            return jnp.asarray(step_count, leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(ff, opt_state)

@@ -137,6 +137,7 @@ class SupervisedTrainer:
 
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
+        self.steps_per_epoch = max(1, steps_per_epoch)
         params = jax.jit(self.model.init)(key, sample_noisy)
         self.tx = make_optimizer(
             "adamw",
@@ -217,12 +218,29 @@ class SupervisedTrainer:
             import torch
 
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
-            payload = _load_torch_payload(checkpoint_path)
+            payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             return put_replicated(restored, self.mesh), epoch
-        params, payload = ckpt_io.load_pth(checkpoint_path, state.params)
+        params, payload = ckpt_io.load_pth(checkpoint_path, state.params, allow_pickle=True)
         epoch = int(payload.get("epoch", 0)) if payload else 0
-        state = TrainState(params=params, opt_state=state.opt_state, step=state.step)
+        opt_state = state.opt_state
+        resume_step = epoch * getattr(self, "steps_per_epoch", 1)
+        if payload and "optax_state" in payload:
+            opt_state = jax.tree_util.tree_map(
+                lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
+                state.opt_state,
+                payload["optax_state"],
+            )
+        elif epoch > 0:
+            # torch-written .pth without our optax payload: fast-forward the
+            # StepLR/Adam counters to the resumed global step (see schedules.py)
+            from .schedules import fast_forward_opt_state
+
+            opt_state = fast_forward_opt_state(opt_state, resume_step)
+        state = TrainState(
+            params=params, opt_state=opt_state,
+            step=jnp.asarray(resume_step, jnp.int32),
+        )
         return put_replicated(state, self.mesh), epoch
 
     def log_image_grids(self, state, loader, epoch: int):

@@ -147,19 +147,37 @@ def torch_state_dict_to_params(
     return convert_tree(params_template)
 
 
-def load_torch_payload(path: str):
+def load_torch_payload(path: str, *, allow_pickle: bool = False):
     """torch.load with the safe ``weights_only=True`` path first.
 
     Reference-layout checkpoints and external weights (VGG/LPIPS/DISTS) are
-    tensors/ints/dicts and load safely; only our own .pth sidecars carrying a
+    tensors/ints/dicts and load safely.  Only our own .pth sidecars carrying a
     pickled numpy optax tree ("optax_state") need the unsafe fallback — which
-    executes pickle code, so only trusted files should reach it.
+    executes arbitrary pickle code, so it is gated on ``allow_pickle=True``
+    (passed only by trainer resume paths on files this framework wrote or the
+    user explicitly pointed a resume flag at).  External-weight loaders keep the
+    default and fail loudly instead of unpickling untrusted bytes.
     """
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path!r} failed the safe weights-only torch.load ({e}); refusing "
+                "the unpickling fallback for a file not marked trusted. If this is "
+                "a checkpoint you trust (e.g. one written by this framework with "
+                "an optax-state sidecar), load it via a trainer resume path or "
+                "pass allow_pickle=True."
+            ) from e
+        import warnings
+
+        warnings.warn(
+            f"{path!r}: safe weights-only load failed; falling back to full "
+            "unpickling (executes pickle code — trusted files only)",
+            stacklevel=2,
+        )
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
@@ -199,13 +217,14 @@ def load_pth(
     *,
     prefix: str = "",
     key: str = "model_state_dict",
+    allow_pickle: bool = False,
 ):
     """Read a reference-layout .pth checkpoint into a param pytree.
 
     Tolerates both dict-wrapped and bare state_dicts (evaluate_model.py:94-110).
     Returns (params, payload_dict_or_None).
     """
-    payload = load_torch_payload(path)
+    payload = load_torch_payload(path, allow_pickle=allow_pickle)
     if isinstance(payload, dict) and key in payload:
         sd = payload[key]
     else:
