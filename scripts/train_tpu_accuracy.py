@@ -1,0 +1,208 @@
+"""First end-to-end accuracy run: train RDUNet supervised on the real TPU.
+
+VERDICT r2 #1b: no trained checkpoint exists anywhere (the reference ships
+none), so this script produces the framework's first accuracy figure — train
+RDUNet on synthetic DIV2K-style images with sigma=25 Gaussian noise (the
+reference's synthetic-noise protocol, custom_dataset.py:83-87) and report
+held-out-patch PSNR.  Target: >=28 dB at sigma=25 (noisy input is ~20.4 dB).
+
+Runs the REAL product path end to end: ArrayPatch-style dataset -> PatchLoader
+with the on-device degrade+normalize transform -> SupervisedTrainer at the
+measured v5e sweet spot (batch 128, engine='xla', remat, bf16).
+
+Usage (TPU, background):
+    python scripts/train_tpu_accuracy.py --epochs 150 --base-filters 32
+Prints one JSON line at the end; appends it to runs/accuracy_log.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def synth_images(n, size, rng):
+    """DIV2K-stand-in synthetic content: multi-scale smooth fields + flat
+    geometric regions + soft stripes — structured enough that a denoiser can
+    exploit spatial redundancy, varied enough not to be memorized."""
+    from scipy.ndimage import gaussian_filter
+
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        for blur, amp in ((16.0, 0.5), (6.0, 0.25), (2.0, 0.1)):
+            f = gaussian_filter(
+                rng.randn(size, size, 3).astype(np.float32), (blur, blur, 0)
+            )
+            img += amp * f / (np.abs(f).max() + 1e-6)
+        for _ in range(rng.randint(4, 9)):  # flat ellipses
+            cy, cx = rng.randint(0, size, 2)
+            ry, rx = rng.randint(size // 16, size // 3, 2)
+            mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            color = rng.uniform(-0.8, 0.8, 3).astype(np.float32)
+            img[mask] = img[mask] * 0.3 + color * 0.7
+        if rng.rand() < 0.5:  # soft stripes
+            period = rng.randint(8, 40)
+            phase = rng.rand() * 6.28
+            stripes = 0.15 * np.sin(2 * np.pi * xx / period + phase)
+            img += stripes[..., None].astype(np.float32)
+        lo, hi = img.min(), img.max()
+        imgs[i] = np.clip((img - lo) / (hi - lo + 1e-6) * 255, 0, 255).astype(np.uint8)
+    return imgs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--base-filters", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--n-train", type=int, default=512)
+    ap.add_argument("--n-val", type=int, default=64)
+    ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--engine", default="xla")
+    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument(
+        "--sched-steps-per-epoch", type=int, default=0,
+        help="virtual epoch length for the StepLR(3,.5) decay cadence; the "
+        "reference's per-epoch decay assumes DIV2K-sized epochs, so with a small "
+        "synthetic set pass e.g. total_steps//6 to get ~2 decays over the run "
+        "(0 = use the real loader epoch length)",
+    )
+    ap.add_argument("--out", default="runs/accuracy_log.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vub_image_denoising_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vub_image_denoising_tpu.data.device import (
+        add_gaussian_noise_u8, degrade_and_normalize, denormalize,
+    )
+    from vub_image_denoising_tpu.data.loader import PatchLoader
+    from vub_image_denoising_tpu.eval.metrics import psnr_per_image
+    from vub_image_denoising_tpu.models import RDUNet
+    from vub_image_denoising_tpu.train import SupervisedTrainer
+
+    rng = np.random.RandomState(0)
+    print(f"generating {args.n_train}+{args.n_val} synthetic {args.size}^2 images...",
+          flush=True)
+    t0 = time.time()
+    train_clean = synth_images(args.n_train, args.size, rng)
+    val_clean = synth_images(args.n_val, args.size, rng)
+    print(f"  done in {time.time() - t0:.0f}s", flush=True)
+
+    class CleanDS:
+        channels = 3
+
+        def __len__(self):
+            return len(train_clean)
+
+        def __getitem__(self, i):
+            return (train_clean[i],)
+
+        def gather_batch(self, indices):
+            return (train_clean[np.asarray(indices, np.int64)],)
+
+    sigma = args.sigma
+
+    @jax.jit
+    def tf(key, clean_u8):
+        return degrade_and_normalize(key, clean_u8, sigma)
+
+    model = RDUNet(channels=3, base_filters=args.base_filters)
+    trainer = SupervisedTrainer(
+        model, lr=args.lr, engine=args.engine, remat=True,
+        compute_dtype=jnp.bfloat16, checkpoint_dir="runs/accuracy_ckpt",
+    )
+    loader = PatchLoader(
+        CleanDS(), args.batch_size, shuffle=True, transform=tf,
+        sharding=trainer.batch_sharding(), seed=1,
+    )
+    steps_per_epoch = max(1, len(loader))
+    state = trainer.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((args.batch_size, args.size, args.size, 3), jnp.bfloat16),
+        steps_per_epoch=args.sched_steps_per_epoch or steps_per_epoch,
+    )
+
+    # fixed held-out noisy/clean pairs (quantized-uint8 noise, the C1 model)
+    val_noisy_u8 = np.asarray(jax.device_get(add_gaussian_noise_u8(
+        jax.random.PRNGKey(123), jnp.asarray(val_clean), sigma
+    )))
+
+    def evaluate(state):
+        psnrs = []
+        for s in range(0, len(val_clean), 32):
+            noisy_u8 = jnp.asarray(val_noisy_u8[s : s + 32])
+            clean_u8 = jnp.asarray(val_clean[s : s + 32])
+            noisy = ((noisy_u8.astype(jnp.float32) / 255.0) - 0.5) / 0.5
+            out = trainer.evaluate_batch(state, noisy.astype(jnp.bfloat16))
+            p = psnr_per_image(
+                clean_u8.astype(jnp.float32) / 255.0,
+                jnp.clip(denormalize(out.astype(jnp.float32)), 0.0, 1.0),
+                data_range=1.0,
+            )
+            psnrs.extend(np.asarray(jax.device_get(p), np.float64).tolist())
+        return float(np.mean(psnrs))
+
+    # noisy-input baseline PSNR at this sigma
+    base_psnrs = []
+    for s in range(0, len(val_clean), 32):
+        c = val_clean[s : s + 32].astype(np.float32) / 255.0
+        nz = val_noisy_u8[s : s + 32].astype(np.float32) / 255.0
+        mse = ((c - nz) ** 2).mean(axis=(1, 2, 3))
+        base_psnrs.extend((10 * np.log10(1.0 / mse)).tolist())
+    psnr_noisy = float(np.mean(base_psnrs))
+    print(f"noisy-input PSNR @ sigma={sigma}: {psnr_noisy:.2f} dB", flush=True)
+
+    best = -1.0
+    t_train0 = time.time()
+    for epoch in range(args.epochs):
+        te = time.time()
+        state, loss = trainer.train_epoch(state, loader, epoch)
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            p = evaluate(state)
+            best = max(best, p)
+            print(
+                f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
+                f"val PSNR {p:.2f} dB (best {best:.2f}) "
+                f"[{time.time() - te:.1f}s/epoch]",
+                flush=True,
+            )
+        else:
+            print(f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
+                  f"[{time.time() - te:.1f}s/epoch]", flush=True)
+
+    final = evaluate(state)
+    best = max(best, final)
+    trainer.maybe_checkpoint(state, args.epochs - 1, force=True)
+    result = {
+        "metric": "rdunet_supervised_synthetic_psnr",
+        "sigma": sigma,
+        "base_filters": args.base_filters,
+        "epochs": args.epochs,
+        "steps": args.epochs * steps_per_epoch,
+        "psnr_noisy_db": round(psnr_noisy, 2),
+        "psnr_denoised_db": round(final, 2),
+        "psnr_best_db": round(best, 2),
+        "train_seconds": round(time.time() - t_train0, 1),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

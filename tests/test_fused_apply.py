@@ -170,3 +170,78 @@ def test_precombined_block_matches_reference_block():
         g_new = jax.grad(lambda pp: jnp.sum(_dense_block_xla_precombined(pp, x) ** 2))(p)
         for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+def test_custom_bwd_paths_match_reference_grads():
+    """The backward-experiment wrappers (standard forward + restructured
+    backward graph) must produce the same outputs AND gradients as the plain
+    formulations: _dense_block_precombined_bwd vs _dense_block_xla, and
+    _down_fast_bwd (matmul VJP) vs _down (conv VJP)."""
+    from vub_image_denoising_tpu.models.fused_apply import (
+        _dense_block_precombined_bwd,
+        _dense_block_xla,
+        _down,
+        _down_fast_bwd,
+        _down_s2d,
+    )
+
+    c = 8
+    block = DenoisingBlock(c, c // 2, c)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, c))
+    p = block.init(jax.random.PRNGKey(1), x)["params"]
+    np.testing.assert_allclose(
+        np.asarray(_dense_block_precombined_bwd(p, x)),
+        np.asarray(_dense_block_xla(p, x)), rtol=1e-5, atol=1e-6,
+    )
+    g_ref = jax.grad(lambda pp, v: jnp.sum(_dense_block_xla(pp, v) ** 2),
+                     argnums=(0, 1))(p, x)
+    g_new = jax.grad(lambda pp, v: jnp.sum(_dense_block_precombined_bwd(pp, v) ** 2),
+                     argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+    # downsample: s2d formulation itself, then the custom-VJP wrapper
+    from vub_image_denoising_tpu.nn.blocks import DownsampleBlock
+
+    down = DownsampleBlock(2 * c)
+    dx = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, c))
+    dp = down.init(jax.random.PRNGKey(2), dx)["params"]
+    np.testing.assert_allclose(
+        np.asarray(_down_s2d(dp, dx)), np.asarray(_down(dp, dx)),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_down_fast_bwd(dp, dx)), np.asarray(_down(dp, dx)),
+        rtol=1e-6, atol=1e-7,
+    )
+    g_ref = jax.grad(lambda pp, v: jnp.sum(_down(pp, v) ** 2), argnums=(0, 1))(dp, dx)
+    g_new = jax.grad(lambda pp, v: jnp.sum(_down_fast_bwd(pp, v) ** 2),
+                     argnums=(0, 1))(dp, dx)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_knobs_wire_into_core(monkeypatch):
+    """VUB_BWD_PRECOMBINE / VUB_DOWN_MATMUL_BWD route _core through the wrappers
+    with unchanged outputs and grads (knobs are read at import; patch the module
+    globals the way the env would set them)."""
+    from vub_image_denoising_tpu.models import fused_apply as fa
+    from vub_image_denoising_tpu.models import RDUNet
+
+    model = RDUNet(channels=3, base_filters=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), x)
+
+    def run():
+        def loss(v):
+            return jnp.sum(fa.rdunet_apply_fused(v, x, engine="xla") ** 2)
+        return loss(variables), jax.grad(loss)(variables)
+
+    y_ref, g_ref = run()
+    monkeypatch.setattr(fa, "_BWD_PRECOMBINE_MIN_C", 0)
+    monkeypatch.setattr(fa, "_DOWN_MATMUL_BWD", True)
+    y_new, g_new = run()
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)

@@ -204,11 +204,93 @@ import os as _os
 _PRECOMBINE_MIN_CHANNELS = int(_os.environ.get("VUB_PRECOMBINE_MIN_C", str(1 << 30)))
 
 
+@jax.custom_vjp
+def _dense_block_precombined_bwd(params, x):
+    """DenoisingBlock with the STANDARD forward but the lane-packed BACKWARD.
+
+    The precombined forward loses model-level throughput because its sliced-lane
+    adds break XLA's fusion with neighboring glue convs (see note above) — but
+    its BACKWARD has wider MXU lanes: the weight-grad convs contract over
+    regrouped (3g+c / 2g+c / g+c / c)-wide outputs instead of four g-wide ones,
+    and the data-grads flow through four per-source convs instead of
+    concat-split chains.  Since both formulations compute the same function,
+    pulling the cotangent through the precombined graph yields the same
+    gradients (up to float reassociation) with better-shaped matmuls.
+    Measured on v5e (scripts/profile_bwd.py) before adoption.
+    """
+    return _dense_block_xla(params, x)
+
+
+def _dense_block_precombined_bwd_fwd(params, x):
+    return _dense_block_xla(params, x), (params, x)
+
+
+def _dense_block_precombined_bwd_bwd(res, g):
+    params, x = res
+    _, vjp = jax.vjp(_dense_block_xla_precombined, params, x)
+    return vjp(g)
+
+
+_dense_block_precombined_bwd.defvjp(
+    _dense_block_precombined_bwd_fwd, _dense_block_precombined_bwd_bwd
+)
+
+
+def _down_s2d(p, x):
+    """k2s2 downsample as space-to-depth + matmul (identical math to _down).
+
+    Forward measured SLOWER than the VALID-s2 conv emitter (profile_glue.py),
+    but its VJP is two matmuls + reshapes — no conv-transpose dgrad emitter.
+    Used as the backward graph of ``_down_fast_bwd``.
+    """
+    n, h, w, cin = x.shape
+    k = p["conv"]["kernel"]  # (2, 2, cin, cout)
+    cout = k.shape[-1]
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(n, h // 2, w // 2, 4 * cin)
+    wk = k.reshape(4 * cin, cout).astype(x.dtype)
+    y = xs @ wk + p["conv"]["bias"].astype(x.dtype)
+    return _prelu(y, p["actv"]["alpha"])
+
+
+@jax.custom_vjp
+def _down_fast_bwd(p, x):
+    """Downsample: VALID-s2 conv forward (fastest emitter), matmul backward."""
+    return _down(p, x)
+
+
+def _down_fast_bwd_fwd(p, x):
+    return _down(p, x), (p, x)
+
+
+def _down_fast_bwd_bwd(res, g):
+    p, x = res
+    _, vjp = jax.vjp(_down_s2d, p, x)
+    return vjp(g)
+
+
+_down_fast_bwd.defvjp(_down_fast_bwd_fwd, _down_fast_bwd_bwd)
+
+
+# Backward-path experiment knobs (profiled by scripts/profile_bwd.py):
+# VUB_BWD_PRECOMBINE=minC -> dense blocks >= minC channels use the lane-packed
+# backward (standard forward); VUB_DOWN_MATMUL_BWD=1 -> downsamples use the
+# matmul backward (VALID-s2 forward).
+_BWD_PRECOMBINE_MIN_C = int(_os.environ.get("VUB_BWD_PRECOMBINE", str(1 << 30)))
+_DOWN_MATMUL_BWD = _os.environ.get("VUB_DOWN_MATMUL_BWD", "0") == "1"
+
+
 def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
           trainable=False, remat=False):
+    down = _down_fast_bwd if _DOWN_MATMUL_BWD else _down
+
     def block_for(c):
-        fn = (_dense_block_xla_precombined if c >= _PRECOMBINE_MIN_CHANNELS
-              else _dense_block_xla)
+        if c >= _PRECOMBINE_MIN_CHANNELS:
+            fn = _dense_block_xla_precombined
+        elif c >= _BWD_PRECOMBINE_MIN_C:
+            fn = _dense_block_precombined_bwd
+        else:
+            fn = _dense_block_xla
         return jax.checkpoint(fn) if remat else fn
 
     def dense_pair(name_a, name_b, h):
@@ -250,13 +332,13 @@ def _core(p: Dict[str, Any], x, tile_rows=None, interpret=False, engine="auto",
     out0 = _input_block(p["input_block"], x)
     out0 = dense_pair("block_0_0", "block_0_1", out0)
 
-    out1 = _down(p["down_0"], out0)
+    out1 = down(p["down_0"], out0)
     out1 = dense_pair("block_1_0", "block_1_1", out1)
 
-    out2 = _down(p["down_1"], out1)
+    out2 = down(p["down_1"], out1)
     out2 = dense_pair("block_2_0", "block_2_1", out2)
 
-    out3 = _down(p["down_2"], out2)
+    out3 = down(p["down_2"], out2)
     out3 = dense_pair("block_3_0", "block_3_1", out3)
 
     out4 = _up(p["up_2"], out3, out2)
