@@ -54,10 +54,52 @@ def dense_pair_flops(c, px):
     return 2 * per_block * px
 
 
+def step_only(batch, remat):
+    """Time just the full train step at one config (for env-knob sweeps: the
+    VUB_BWD_* knobs are read at fused_apply import, so each config runs in its
+    own process — see the sweep loop in this file's __main__ docs)."""
+    from vub_image_denoising_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import os
+
+    from vub_image_denoising_tpu.models import RDUNet
+    from vub_image_denoising_tpu.train import SupervisedTrainer
+
+    key = jax.random.PRNGKey(0)
+    model = RDUNet(channels=3, base_filters=BASE)
+    x = jax.random.uniform(key, (batch, SIZE, SIZE, 3), DTYPE) * 2 - 1
+    yc = jax.random.uniform(jax.random.PRNGKey(2), (batch, SIZE, SIZE, 3), DTYPE) * 2 - 1
+    tr = SupervisedTrainer(model, engine="xla", remat=remat,
+                           accumulation_steps=1, compute_dtype=DTYPE)
+    state = tr.init(key, jnp.zeros((batch, SIZE, SIZE, 3), DTYPE), steps_per_epoch=10)
+    s = state
+    for _ in range(2):
+        s, l = tr._jit_step(s, x, yc)
+        jax.device_get(l)
+    t0 = time.perf_counter()
+    iters = 6
+    for _ in range(iters):
+        s, l = tr._jit_step(s, x, yc)
+    jax.device_get(l)
+    sec = (time.perf_counter() - t0) / iters
+    mp = batch * SIZE * SIZE / 1e6 / sec
+    knobs = {k: v for k, v in os.environ.items() if k.startswith("VUB_BWD")
+             or k == "VUB_DOWN_MATMUL_BWD"}
+    print(f"step batch={batch} remat={remat} knobs={knobs}: "
+          f"{sec * 1e3:7.1f} ms  {mp:5.2f} MP/s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--step-only", action="store_true")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--remat", type=int, default=0)
     args = ap.parse_args()
+    if args.step_only:
+        step_only(args.batch, bool(args.remat))
+        return
 
     from vub_image_denoising_tpu.utils.cache import enable_compilation_cache
 
@@ -77,7 +119,7 @@ def main():
 
     for c, s in scales:
         x = jax.random.uniform(key, (BATCH, s, s, c), DTYPE)
-        blk = DenoisingBlock(c, c // 2)
+        blk = DenoisingBlock(c, c // 2, c)
         p_a = jax.jit(blk.init)(key, jnp.zeros((1, s, s, c)))["params"]
         p_b = jax.jit(blk.init)(jax.random.PRNGKey(1), jnp.zeros((1, s, s, c)))["params"]
         px = BATCH * s * s

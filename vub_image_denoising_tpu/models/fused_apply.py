@@ -272,10 +272,17 @@ def _down_fast_bwd_bwd(res, g):
 _down_fast_bwd.defvjp(_down_fast_bwd_fwd, _down_fast_bwd_bwd)
 
 
-# Backward-path experiment knobs (profiled by scripts/profile_bwd.py):
-# VUB_BWD_PRECOMBINE=minC -> dense blocks >= minC channels use the lane-packed
-# backward (standard forward); VUB_DOWN_MATMUL_BWD=1 -> downsamples use the
-# matmul backward (VALID-s2 forward).
+# Backward-path experiment knobs — both MEASURED-NEGATIVE on v5e, default off
+# (scripts/profile_bwd.py, RDUNet-128 batch 8 256^2 bf16, round 3):
+#   baseline (remat=False)            246.4 ms/step  2.13 MP/s
+#   VUB_DOWN_MATMUL_BWD=1             249.5 ms       (-1%: conv-transpose dgrad
+#                                     already fine; the matmul VJP only reshuffles)
+#   VUB_BWD_PRECOMBINE=128            315.5 ms       (-22%: the lane-packed bwd
+#                                     breaks XLA fusion exactly like its forward)
+# The per-component profile shows why: dense-block BACKWARD already runs at
+# 122-181 TF/s (HIGHER per-FLOP than the 80-124 TF/s forward), so restructured
+# backward graphs have nothing to win.  The real round-2 gap was remat recompute:
+# at the flagship batch 8 activations fit HBM, and remat=False is 1.26x.
 _BWD_PRECOMBINE_MIN_C = int(_os.environ.get("VUB_BWD_PRECOMBINE", str(1 << 30)))
 _DOWN_MATMUL_BWD = _os.environ.get("VUB_DOWN_MATMUL_BWD", "0") == "1"
 
