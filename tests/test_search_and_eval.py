@@ -208,3 +208,33 @@ def test_compare_runner_end_to_end(tmp_path):
     assert all(np.isfinite(metrics["psnr_diffusion"]))
     assert os.path.exists(os.path.join(save_dir, "metrics.png"))
     assert len(times["diffusion"]) == 2 and len(times["unet"]) == 2
+
+
+def test_compare_runner_bm3d_native_path(tmp_path):
+    """use_bm3d=True must produce finite BM3D metrics via the NATIVE ops/bm3d
+    implementation (the pip package is absent in this environment) — the
+    reference's BM3D curves (evaluate_model.py:164-218) are now runnable."""
+    from vub_image_denoising_tpu.eval.compare import evaluate_model_and_plot
+    from vub_image_denoising_tpu.models import RDUNetT
+    from vub_image_denoising_tpu.utils import checkpoint as ckpt_io
+
+    unet_t = RDUNetT(base_filters=4)
+    dp = unet_t.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    diff_path = str(tmp_path / "diff_epoch_1.pth")
+    ckpt_io.save_pth(diff_path, dp, epoch=1, prefix="unet.")
+
+    rng = np.random.RandomState(0)
+    gt = rng.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    noisy = np.clip(gt + rng.randn(*gt.shape).astype(np.float32) * 30 / 127.5, -1, 1)
+    batches = [(jnp.asarray(noisy), jnp.asarray(gt), jnp.full((1,), 30.0))]
+
+    metrics, _ = evaluate_model_and_plot(
+        epochs=[1], diffusion_model_paths=[diff_path],
+        unet_model_path=str(tmp_path / "missing.pth"),  # UNet skipped
+        val_loader=batches, include_noise_level=True,
+        save_dir=str(tmp_path / "results"), timesteps=2,
+        diffusion_base_filters=4, use_bm3d=True,
+    )
+    assert len(metrics["psnr_bm3d"]) == 1
+    assert np.isfinite(metrics["psnr_bm3d"][0]), metrics["psnr_bm3d"]
+    assert np.isfinite(metrics["ssim_bm3d"][0])
