@@ -59,6 +59,8 @@ def synth_images(n, size, rng):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", choices=("supervised", "diffusion"), default="supervised")
+    ap.add_argument("--timesteps", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--base-filters", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=128)
@@ -92,7 +94,7 @@ def main():
     from vub_image_denoising_tpu.data.loader import PatchLoader
     from vub_image_denoising_tpu.eval.metrics import psnr_per_image
     from vub_image_denoising_tpu.models import RDUNet
-    from vub_image_denoising_tpu.train import SupervisedTrainer
+    from vub_image_denoising_tpu.train import DiffusionTrainer, SupervisedTrainer
 
     rng = np.random.RandomState(0)
     print(f"generating {args.n_train}+{args.n_val} synthetic {args.size}^2 images...",
@@ -120,11 +122,18 @@ def main():
     def tf(key, clean_u8):
         return degrade_and_normalize(key, clean_u8, sigma)
 
-    model = RDUNet(channels=3, base_filters=args.base_filters)
-    trainer = SupervisedTrainer(
-        model, lr=args.lr, engine=args.engine, remat=True,
-        compute_dtype=jnp.bfloat16, checkpoint_dir="runs/accuracy_ckpt",
-    )
+    if args.algo == "diffusion":
+        trainer = DiffusionTrainer(
+            base_filters=args.base_filters, timesteps=args.timesteps, lr=args.lr,
+            engine=args.engine, remat=True, compute_dtype=jnp.bfloat16,
+            output_dir="runs/accuracy_ckpt_diffusion",
+        )
+    else:
+        model = RDUNet(channels=3, base_filters=args.base_filters)
+        trainer = SupervisedTrainer(
+            model, lr=args.lr, engine=args.engine, remat=True,
+            compute_dtype=jnp.bfloat16, checkpoint_dir="runs/accuracy_ckpt",
+        )
     loader = PatchLoader(
         CleanDS(), args.batch_size, shuffle=True, transform=tf,
         sharding=trainer.batch_sharding(), seed=1,
@@ -141,13 +150,20 @@ def main():
         jax.random.PRNGKey(123), jnp.asarray(val_clean), sigma
     )))
 
+    # diffusion eval runs the FULL T-step improved sampler (the product's eval
+    # path); batch 8 is the measured sampler sweet spot (BASELINE.md round 2)
+    eval_bs = 8 if args.algo == "diffusion" else 32
+
     def evaluate(state):
         psnrs = []
-        for s in range(0, len(val_clean), 32):
-            noisy_u8 = jnp.asarray(val_noisy_u8[s : s + 32])
-            clean_u8 = jnp.asarray(val_clean[s : s + 32])
+        for s in range(0, len(val_clean), eval_bs):
+            noisy_u8 = jnp.asarray(val_noisy_u8[s : s + eval_bs])
+            clean_u8 = jnp.asarray(val_clean[s : s + eval_bs])
             noisy = ((noisy_u8.astype(jnp.float32) / 255.0) - 0.5) / 0.5
-            out = trainer.evaluate_batch(state, noisy.astype(jnp.bfloat16))
+            if args.algo == "diffusion":
+                out = trainer._jit_sample(state.params, noisy.astype(jnp.bfloat16))
+            else:
+                out = trainer.evaluate_batch(state, noisy.astype(jnp.bfloat16))
             p = psnr_per_image(
                 clean_u8.astype(jnp.float32) / 255.0,
                 jnp.clip(denormalize(out.astype(jnp.float32)), 0.0, 1.0),
@@ -170,7 +186,10 @@ def main():
     t_train0 = time.time()
     for epoch in range(args.epochs):
         te = time.time()
-        state, loss = trainer.train_epoch(state, loader, epoch)
+        if args.algo == "diffusion":
+            state, loss = trainer.train_epoch(state, loader, jax.random.PRNGKey(7), epoch)
+        else:
+            state, loss = trainer.train_epoch(state, loader, epoch)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             p = evaluate(state)
             best = max(best, p)
@@ -186,9 +205,12 @@ def main():
 
     final = evaluate(state)
     best = max(best, final)
-    trainer.maybe_checkpoint(state, args.epochs - 1, force=True)
+    if args.algo == "diffusion":
+        trainer.save_epoch_checkpoint(state, args.epochs - 1)
+    else:
+        trainer.maybe_checkpoint(state, args.epochs - 1, force=True)
     result = {
-        "metric": "rdunet_supervised_synthetic_psnr",
+        "metric": f"rdunet_{args.algo}_synthetic_psnr",
         "sigma": sigma,
         "base_filters": args.base_filters,
         "epochs": args.epochs,
