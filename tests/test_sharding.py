@@ -93,3 +93,58 @@ def test_replicated_params():
     rep = put_replicated(tree, mesh)
     assert rep["w"].sharding.spec == P()
     assert len(rep["w"].addressable_shards) == 8
+
+
+def test_fsdp_spec_rule():
+    """Leaf rule: shard the largest divisible dim; replicate small/indivisible."""
+    from vub_image_denoising_tpu.parallel.fsdp import fsdp_spec_for_shape
+
+    # HWIO conv kernel: O (largest divisible dim) gets the axis
+    assert fsdp_spec_for_shape((3, 3, 64, 128), 8) == P(None, None, None, "data")
+    # I > O here -> I gets it
+    assert fsdp_spec_for_shape((3, 3, 256, 128), 8) == P(None, None, "data", None)
+    # small leaf -> replicated
+    assert fsdp_spec_for_shape((8,), 8) == P()
+    # no divisible dim -> replicated
+    assert fsdp_spec_for_shape((5, 7, 9, 11111), 8) == P()
+    # single device -> replicated
+    assert fsdp_spec_for_shape((3, 3, 64, 128), 1) == P()
+
+
+def test_fsdp_train_step_matches_replicated():
+    """FSDP-sharded params/opt-state: the train step compiles with XLA-inserted
+    collectives, keeps the state sharded across steps, and the resulting params
+    match the replicated (pure-DP) run."""
+    from vub_image_denoising_tpu.parallel import sharded_fraction
+
+    model = RDUNet(channels=3, base_filters=8)  # 8 channels -> shardable on 8 devices
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+
+    def run(param_sharding):
+        mesh = make_mesh()
+        trainer = SupervisedTrainer(
+            model, lr=1e-3, accumulation_steps=1, mesh=mesh,
+            param_sharding=param_sharding,
+        )
+        state = trainer.init(
+            jax.random.PRNGKey(2), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=1
+        )
+        frac = sharded_fraction(state.params)
+        xb = jax.device_put(x, shard_batch(mesh))
+        yb = jax.device_put(y, shard_batch(mesh))
+        state, loss = trainer._jit_step(state, xb, yb)
+        state, loss = trainer._jit_step(state, xb, yb)
+        return float(loss), jax.device_get(state.params), frac, state
+
+    loss_f, params_f, frac_f, state_f = run("fsdp")
+    loss_r, params_r, frac_r, _ = run("replicated")
+    assert frac_r == 0.0
+    assert frac_f > 0.5, f"FSDP left {1 - frac_f:.0%} of params replicated"
+    np.testing.assert_allclose(loss_f, loss_r, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_f),
+                    jax.tree_util.tree_leaves(params_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    # the updated state must STAY sharded (no silent gather-to-replicated)
+    assert sharded_fraction(state_f.params) > 0.5
+    assert sharded_fraction(state_f.opt_state) > 0.3

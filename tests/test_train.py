@@ -196,6 +196,61 @@ def test_supervised_orbax_resume_is_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_pth_is_weights_only_safe_and_resumes_exactly(tmp_path):
+    """Framework-written .pth checkpoints must load under torch.load's safe
+    weights-only default (torch >= 2.6) — the optax state rides along as
+    flattened tensors (checkpoint.py optax_state_to_safe) — and resuming from
+    the .pth ALONE (no orbax sidecar) restores the optax state exactly."""
+    import os
+    import shutil
+
+    import torch
+
+    for make in (
+        lambda: (
+            DiffusionTrainer(base_filters=4, timesteps=4, output_dir=str(tmp_path)),
+            True,
+        ),
+        lambda: (
+            SupervisedTrainer(
+                RDUNet(channels=3, base_filters=4), checkpoint_every=1,
+                checkpoint_dir=str(tmp_path),
+            ),
+            False,
+        ),
+    ):
+        trainer, is_diffusion = make()
+        loader = _loader(batch_size=4)
+        state = trainer.init(
+            jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=4
+        )
+        if is_diffusion:
+            state, _ = trainer.train_epoch(state, loader, jax.random.PRNGKey(1), epoch=0)
+            path = trainer.save_epoch_checkpoint(state, epoch=0)
+        else:
+            state, _ = trainer.train_epoch(state, loader, epoch=0)
+            path = trainer.maybe_checkpoint(state, epoch=0)
+
+        # (a) safe load succeeds — no unpickling fallback needed
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+        assert "optax_leaves" in payload
+
+        # (b) .pth-only resume (sidecar removed) restores the optax state exactly
+        shutil.rmtree(path + ".orbax")
+        assert not os.path.exists(path + ".orbax")
+        trainer2, _ = make()
+        state2 = trainer2.init(
+            jax.random.PRNGKey(9), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=4
+        )
+        state2, epoch = trainer2.load_checkpoint(state2, path)
+        assert epoch == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves((state.params, state.opt_state)),
+            jax.tree_util.tree_leaves((state2.params, state2.opt_state)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cli_train_path_is_data_parallel(tmp_path, monkeypatch):
     """The primary CLI entry (train/diffusion.py::train) must feed mesh-sharded
     batches to the jitted step without the caller doing anything: every train batch

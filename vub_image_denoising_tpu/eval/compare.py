@@ -85,12 +85,12 @@ def compute_metrics(gt, processed, lpips_fn, dists_fn, strict=True):
     return psnr_v, ssim_v, lpips_v, dists_v
 
 
-def _load_into(model_init_args, path, prefix=""):
+def _load_into(model_init_args, path, prefix="", allow_pickle=False):
     """Tolerant .pth loader (dict-wrapped or bare; evaluate_model.py:94-110)."""
     model, init_args = model_init_args
     params = jax.eval_shape(model.init, jax.random.PRNGKey(0), *init_args)
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), params)
-    loaded, _ = ckpt_io.load_pth(path, params, prefix=prefix)
+    loaded, _ = ckpt_io.load_pth(path, params, prefix=prefix, allow_pickle=allow_pickle)
     return loaded
 
 
@@ -108,7 +108,12 @@ def evaluate_model_and_plot(
     strict_reference_conventions: bool = True,
     lpips_weights: Optional[str] = None,
     max_batches: Optional[int] = None,
+    trusted_checkpoints: bool = False,
 ):
+    """``trusted_checkpoints=True`` allows the full-unpickling torch.load
+    fallback for checkpoints that fail the safe weights-only path (e.g. .pth
+    files written by this framework before the safe optax-leaves format) —
+    only pass it for files you wrote yourself."""
     os.makedirs(save_dir, exist_ok=True)
 
     # exact-f32 convs for the parity-critical metric/eval path (see
@@ -135,7 +140,8 @@ def evaluate_model_and_plot(
     if evaluate_unet:
         unet_model = RDUNet(channels=3, base_filters=unet_base_filters)
         dummy = jnp.zeros((1, 64, 64, 3))
-        unet_params = _load_into((unet_model, (dummy,)), unet_model_path)
+        unet_params = _load_into((unet_model, (dummy,)), unet_model_path,
+                                 allow_pickle=trusted_checkpoints)
         unet_fwd = jax.jit(unet_model.apply)
     else:
         print(f"UNet model path '{unet_model_path}' does not exist. Skipping UNet evaluation.")
@@ -157,7 +163,8 @@ def evaluate_model_and_plot(
 
     for epoch, dpath in zip(epochs, diffusion_model_paths):
         dummy = jnp.zeros((1, 64, 64, 3))
-        diff_params = _load_into((unet_t, (dummy, jnp.zeros((1,)))), dpath, prefix="unet.")
+        diff_params = _load_into((unet_t, (dummy, jnp.zeros((1,)))), dpath,
+                                 prefix="unet.", allow_pickle=trusted_checkpoints)
 
         for batch_idx, data in enumerate(val_loader):
             if max_batches is not None and batch_idx >= max_batches:

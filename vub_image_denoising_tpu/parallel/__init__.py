@@ -1,3 +1,4 @@
+from .fsdp import fsdp_shardings, put_fsdp, sharded_fraction
 from .mesh import (
     all_processes_mean,
     init_distributed,

@@ -30,7 +30,6 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..diffusion.interpolation import InterpolationDiffusion
@@ -137,6 +136,9 @@ class DiffusionTrainer:
     engine: str = "flax"
     # rematerialize dense blocks in the backward pass (HBM relief; models/rdunet.py)
     remat: bool = False
+    # 'replicated' or 'fsdp' (params + Adam moments sharded over the data axis,
+    # ZeRO-style; parallel/fsdp.py)
+    param_sharding: str = "replicated"
 
     def __post_init__(self):
         self.unet = RDUNetT(base_filters=self.base_filters, remat=self.remat)
@@ -157,6 +159,13 @@ class DiffusionTrainer:
             self.mesh = make_mesh()
         return self.mesh
 
+    def _put_state(self, state):
+        if self.param_sharding == "fsdp":
+            from ..parallel.fsdp import put_fsdp
+
+            return put_fsdp(state, self.mesh)
+        return put_replicated(state, self.mesh)
+
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
         self.steps_per_epoch = max(1, steps_per_epoch)
@@ -171,7 +180,7 @@ class DiffusionTrainer:
             clip_norm=self.clip_norm,
         )
         state = TrainState.create(params, self.tx)
-        state = put_replicated(state, self.mesh)
+        state = self._put_state(state)
         step = make_diffusion_train_step(
             self._unet_apply,
             self.diffusion,
@@ -239,7 +248,6 @@ class DiffusionTrainer:
         path = os.path.join(
             self.output_dir, f"diffusion_RDUNet_model_checkpointed_epoch_{epoch + 1}.pth"
         )
-        opt_np = jax.tree_util.tree_map(np.asarray, jax.device_get(state.opt_state))
         ckpt_io.save_pth(
             path,
             state.params,
@@ -247,10 +255,11 @@ class DiffusionTrainer:
             prefix="unet.",
             extra={
                 # reference layout keys (diffusion_RDUnet.py:172-177); optax state rides
-                # along so our own resume is exact
+                # along as flattened torch tensors so our own resume is exact AND the
+                # file stays loadable under torch.load's safe weights-only default
                 "optimizer_state_dict": {},
                 "scheduler_state_dict": {},
-                "optax_state": opt_np,
+                "optax_leaves": ckpt_io.optax_state_to_safe(state.opt_state),
             },
         )
         # native orbax sidecar: the full train state (params + optax state + step),
@@ -272,7 +281,7 @@ class DiffusionTrainer:
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
-            state = put_replicated(restored, self.mesh)
+            state = self._put_state(restored)
             print(f"Loaded orbax sidecar '{sidecar}' (epoch {start_epoch})")
             return state, start_epoch
         params, payload = ckpt_io.load_pth(
@@ -281,7 +290,11 @@ class DiffusionTrainer:
         start_epoch = int(payload.get("epoch", 0)) if payload else 0
         opt_state = state.opt_state
         resume_step = start_epoch * getattr(self, "steps_per_epoch", 1)
-        if payload and "optax_state" in payload:
+        if payload and "optax_leaves" in payload:
+            opt_state = ckpt_io.safe_to_optax_state(
+                payload["optax_leaves"], state.opt_state
+            )
+        elif payload and "optax_state" in payload:  # pre-r3 pickled-tree format
             opt_state = jax.tree_util.tree_map(
                 lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
                 state.opt_state,
@@ -299,7 +312,7 @@ class DiffusionTrainer:
             opt_state=opt_state,
             step=jnp.asarray(resume_step, jnp.int32),
         )
-        state = put_replicated(state, self.mesh)
+        state = self._put_state(state)
         print(f"Loaded checkpoint '{checkpoint_path}' (epoch {start_epoch})")
         return state, start_epoch
 

@@ -128,12 +128,23 @@ class SupervisedTrainer:
     # Ignored when apply_fn is given.
     engine: str = "flax"
     remat: bool = False  # rematerialize dense blocks in backward (engine != 'flax')
+    # 'replicated' (params on every device) or 'fsdp' (params + Adam moments
+    # sharded over the data axis, ZeRO-style; parallel/fsdp.py — XLA inserts the
+    # per-layer all-gathers and grad reduce-scatters)
+    param_sharding: str = "replicated"
 
     def ensure_mesh(self):
         """Create the data-parallel mesh on first use (all local devices)."""
         if self.mesh is None:
             self.mesh = make_mesh()
         return self.mesh
+
+    def _put_state(self, state):
+        if self.param_sharding == "fsdp":
+            from ..parallel.fsdp import put_fsdp
+
+            return put_fsdp(state, self.mesh)
+        return put_replicated(state, self.mesh)
 
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
@@ -148,7 +159,7 @@ class SupervisedTrainer:
             clip_norm=self.clip_norm,
         )
         state = TrainState.create(params, self.tx)
-        state = put_replicated(state, self.mesh)
+        state = self._put_state(state)
         apply = self.apply_fn
         if apply is None:
             if self.engine == "flax":
@@ -194,14 +205,14 @@ class SupervisedTrainer:
         rides along for exact resume.  ``force`` saves regardless of the cadence
         (preemption shutdown)."""
         if force or (epoch + 1) % self.checkpoint_every == 0:
-            import numpy as np
-
             path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
-            opt_np = jax.tree_util.tree_map(np.asarray, jax.device_get(state.opt_state))
+            # optax state rides along as flattened torch tensors so the file stays
+            # loadable with torch.load's safe weights-only default (checkpoint.py
+            # optax_state_to_safe)
             ckpt_io.save_pth(
                 path, state.params,
                 extra={"epoch": epoch + 1, "optimizer_state_dict": {},
-                       "optax_state": opt_np},
+                       "optax_leaves": ckpt_io.optax_state_to_safe(state.opt_state)},
             )
             # native orbax sidecar: full train state for exact resume
             ckpt_io.save_orbax(path + ".orbax", jax.device_get(state))
@@ -220,12 +231,16 @@ class SupervisedTrainer:
             restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
-            return put_replicated(restored, self.mesh), epoch
+            return self._put_state(restored), epoch
         params, payload = ckpt_io.load_pth(checkpoint_path, state.params, allow_pickle=True)
         epoch = int(payload.get("epoch", 0)) if payload else 0
         opt_state = state.opt_state
         resume_step = epoch * getattr(self, "steps_per_epoch", 1)
-        if payload and "optax_state" in payload:
+        if payload and "optax_leaves" in payload:
+            opt_state = ckpt_io.safe_to_optax_state(
+                payload["optax_leaves"], state.opt_state
+            )
+        elif payload and "optax_state" in payload:  # pre-r3 pickled-tree format
             opt_state = jax.tree_util.tree_map(
                 lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
                 state.opt_state,
@@ -241,7 +256,7 @@ class SupervisedTrainer:
             params=params, opt_state=opt_state,
             step=jnp.asarray(resume_step, jnp.int32),
         )
-        return put_replicated(state, self.mesh), epoch
+        return self._put_state(state), epoch
 
     def log_image_grids(self, state, loader, epoch: int):
         """Per-epoch clean/noisy/denoised grids on one batch (RDUNet_model.py:228-244)."""

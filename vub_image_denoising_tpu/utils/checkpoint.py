@@ -181,6 +181,51 @@ def load_torch_payload(path: str, *, allow_pickle: bool = False):
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def optax_state_to_safe(opt_state) -> list:
+    """Flatten an optax state pytree to a list of torch tensors.
+
+    The pytree STRUCTURE (optax namedtuples like ``ScaleByAdamState``) cannot be
+    pickled safely — ``torch.load(weights_only=True)`` rejects non-allowlisted
+    classes — so only the leaves are stored; restore rebuilds the structure from
+    the live trainer's own opt_state template (``safe_to_optax_state``).  This
+    keeps framework-written .pth files loadable with plain ``torch.load``
+    defaults (torch >= 2.6 is weights-only by default)."""
+    import torch
+
+    leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+    out = []
+    for leaf in leaves:
+        # copy=True: device_get leaves can be read-only views, which torch
+        # rejects (non-writable tensor warning)
+        a = np.array(leaf, copy=True)
+        if a.dtype.kind not in "fiub" or a.dtype.itemsize == 0:
+            a = a.astype(np.float32)
+        try:
+            out.append(torch.from_numpy(np.ascontiguousarray(a)))
+        except TypeError:
+            # dtype torch can't view (e.g. ml_dtypes bfloat16): go through f32
+            out.append(torch.from_numpy(np.ascontiguousarray(a.astype(np.float32))))
+    return out
+
+
+def safe_to_optax_state(leaves, template):
+    """Rebuild an optax state from ``optax_state_to_safe`` leaves + a live
+    template with the same optimizer config; casts each leaf to the template
+    leaf's dtype.  Raises ValueError on a leaf-count mismatch (different
+    optimizer/schedule than the one that wrote the checkpoint)."""
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    if len(flat) != len(leaves):
+        raise ValueError(
+            f"checkpointed optax state has {len(leaves)} leaves but the "
+            f"trainer's optimizer expects {len(flat)} — optimizer configs differ"
+        )
+    new = [
+        jnp.asarray(np.asarray(v), t.dtype) if hasattr(t, "dtype") else v
+        for t, v in zip(flat, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
 def save_pth(
     path: str,
     params: Dict[str, Any],
