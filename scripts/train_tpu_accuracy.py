@@ -68,6 +68,14 @@ def main():
     ap.add_argument("--n-train", type=int, default=512)
     ap.add_argument("--n-val", type=int, default=64)
     ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument(
+        "--sigma-list", default="",
+        help="comma-separated noise levels (e.g. '10,20,30,40,50') for blind "
+        "denoising: per-sample sigma drawn uniformly from the list at train "
+        "time (the shuffled equivalent of custom_dataset.py:62-69's "
+        "idx%%len(levels) cycling), val noise cycled deterministically per "
+        "image with per-level PSNR breakdown; overrides --sigma",
+    )
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--engine", default="xla")
     ap.add_argument("--eval-every", type=int, default=25)
@@ -79,6 +87,11 @@ def main():
         "(0 = use the real loader epoch length)",
     )
     ap.add_argument("--out", default="runs/accuracy_log.jsonl")
+    ap.add_argument(
+        "--resume", default="",
+        help="checkpoint path to resume from (orbax sidecar preferred; "
+        "continues for --epochs MORE epochs)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -117,10 +130,24 @@ def main():
             return (train_clean[np.asarray(indices, np.int64)],)
 
     sigma = args.sigma
+    sigma_list = (
+        [float(s) for s in args.sigma_list.split(",")] if args.sigma_list else None
+    )
 
-    @jax.jit
-    def tf(key, clean_u8):
-        return degrade_and_normalize(key, clean_u8, sigma)
+    if sigma_list is not None:
+        levels = jnp.asarray(sigma_list, jnp.float32)
+
+        @jax.jit
+        def tf(key, clean_u8):
+            k_lvl, k_deg = jax.random.split(key)
+            per_sample = jax.random.choice(k_lvl, levels, (clean_u8.shape[0],))
+            return degrade_and_normalize(k_deg, clean_u8, per_sample)
+
+    else:
+
+        @jax.jit
+        def tf(key, clean_u8):
+            return degrade_and_normalize(key, clean_u8, sigma)
 
     if args.algo == "diffusion":
         trainer = DiffusionTrainer(
@@ -144,10 +171,20 @@ def main():
         jnp.zeros((args.batch_size, args.size, args.size, 3), jnp.bfloat16),
         steps_per_epoch=args.sched_steps_per_epoch or steps_per_epoch,
     )
+    if args.resume:
+        state, resumed_epoch = trainer.load_checkpoint(state, args.resume)
+        print(f"resumed from {args.resume} (epoch {resumed_epoch})", flush=True)
 
     # fixed held-out noisy/clean pairs (quantized-uint8 noise, the C1 model)
+    if sigma_list is not None:
+        val_sigmas = np.asarray(
+            [sigma_list[i % len(sigma_list)] for i in range(len(val_clean))],
+            np.float32,
+        )
+    else:
+        val_sigmas = np.full((len(val_clean),), sigma, np.float32)
     val_noisy_u8 = np.asarray(jax.device_get(add_gaussian_noise_u8(
-        jax.random.PRNGKey(123), jnp.asarray(val_clean), sigma
+        jax.random.PRNGKey(123), jnp.asarray(val_clean), jnp.asarray(val_sigmas)
     )))
 
     # diffusion eval runs the FULL T-step improved sampler (the product's eval
@@ -170,7 +207,7 @@ def main():
                 data_range=1.0,
             )
             psnrs.extend(np.asarray(jax.device_get(p), np.float64).tolist())
-        return float(np.mean(psnrs))
+        return float(np.mean(psnrs)), np.asarray(psnrs)
 
     # noisy-input baseline PSNR at this sigma
     base_psnrs = []
@@ -180,7 +217,8 @@ def main():
         mse = ((c - nz) ** 2).mean(axis=(1, 2, 3))
         base_psnrs.extend((10 * np.log10(1.0 / mse)).tolist())
     psnr_noisy = float(np.mean(base_psnrs))
-    print(f"noisy-input PSNR @ sigma={sigma}: {psnr_noisy:.2f} dB", flush=True)
+    sig_desc = sigma_list if sigma_list is not None else sigma
+    print(f"noisy-input PSNR @ sigma={sig_desc}: {psnr_noisy:.2f} dB", flush=True)
 
     best = -1.0
     t_train0 = time.time()
@@ -191,7 +229,7 @@ def main():
         else:
             state, loss = trainer.train_epoch(state, loader, epoch)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
-            p = evaluate(state)
+            p, _ = evaluate(state)
             best = max(best, p)
             print(
                 f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
@@ -203,7 +241,7 @@ def main():
             print(f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
                   f"[{time.time() - te:.1f}s/epoch]", flush=True)
 
-    final = evaluate(state)
+    final, per_image = evaluate(state)
     best = max(best, final)
     if args.algo == "diffusion":
         trainer.save_epoch_checkpoint(state, args.epochs - 1)
@@ -220,6 +258,16 @@ def main():
         "psnr_best_db": round(best, 2),
         "train_seconds": round(time.time() - t_train0, 1),
     }
+    if sigma_list is not None:
+        result["sigma_list"] = sigma_list
+        result["psnr_by_sigma_db"] = {
+            str(int(lv)): round(float(per_image[val_sigmas == lv].mean()), 2)
+            for lv in sigma_list
+        }
+        result["psnr_noisy_by_sigma_db"] = {
+            str(int(lv)): round(float(np.asarray(base_psnrs)[val_sigmas == lv].mean()), 2)
+            for lv in sigma_list
+        }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "a") as f:
         f.write(json.dumps(result) + "\n")
