@@ -118,10 +118,36 @@ def main():
         for c1, c0 in zip(b1, b0):
             _shards_equal(c1, c0)
 
+    # --- FSDP (ZeRO) param/optimizer sharding across BOTH processes --------
+    # put_fsdp assembles the sharded global params via make_array_from_callback
+    # (device_put cannot target the other process's devices); the jitted train
+    # step then runs with XLA-inserted all-gathers/reduce-scatters over the
+    # process boundary.
+    from vub_image_denoising_tpu.parallel import sharded_fraction
+    from vub_image_denoising_tpu.train import SupervisedTrainer
+
+    fsdp_model = RDUNet(channels=3, base_filters=8)
+    trainer = SupervisedTrainer(
+        fsdp_model, lr=1e-3, accumulation_steps=1, mesh=mesh,
+        param_sharding="fsdp",
+    )
+    with jax.disable_jit():
+        state = trainer.init(jax.random.PRNGKey(3), x[:1], steps_per_epoch=1)
+    frac = sharded_fraction(state.params)
+    assert frac > 0.5, f"FSDP left {1 - frac:.0%} of params replicated"
+    noisy = make_global_batch(
+        np.asarray(x + 0.01 * np.random.RandomState(4).randn(*x.shape),
+                   np.float32), sh
+    )
+    state, fsdp_loss = trainer._jit_step(state, noisy, gx)
+    fsdp_loss = float(fsdp_loss)
+    assert np.isfinite(fsdp_loss)
+    assert sharded_fraction(state.params) > 0.5, "state lost its FSDP sharding"
+
     print(
         f"proc {jax.process_index()}/{nproc}: devices {len(jax.devices())} "
         f"out {y.shape} local|y|={local_mean:.5f} global|y|={global_mean:.5f} "
-        f"sharded-fetch rows/proc {len(rows)} OK",
+        f"sharded-fetch rows/proc {len(rows)} fsdp_loss={fsdp_loss:.6f} OK",
         flush=True,
     )
 

@@ -176,3 +176,6 @@ def test_two_process_end_to_end(tmp_path):
 
     vals = {m.group(1) for o in outs for m in [re.search(r"global\|y\|=([0-9.]+)", o)] if m}
     assert len(vals) == 1, outs
+    # the FSDP train step ran on both processes and produced the same loss
+    fsdp = {m.group(1) for o in outs for m in [re.search(r"fsdp_loss=([0-9.]+)", o)] if m}
+    assert len(fsdp) == 1, outs

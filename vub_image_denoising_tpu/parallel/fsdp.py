@@ -51,11 +51,26 @@ def fsdp_shardings(tree, mesh: Mesh, min_shard_elems: int = 1024):
 
 
 def put_fsdp(tree, mesh: Mesh, min_shard_elems: int = 1024):
-    """Device_put a pytree with FSDP shardings (replicated where indivisible)."""
+    """Device_put a pytree with FSDP shardings (replicated where indivisible).
+
+    Multi-process meshes (pods): ``jax.device_put`` cannot target devices this
+    process does not own, so the global arrays are assembled per-shard via
+    ``make_array_from_callback`` from the (process-identical) host values —
+    each process materializes only its own shards."""
     shardings = fsdp_shardings(tree, mesh, min_shard_elems)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), tree, shardings
-    )
+
+    if jax.process_count() > 1:
+
+        def put(x, s):
+            a = np.asarray(x)
+            return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+    else:
+
+        def put(x, s):
+            return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, tree, shardings)
 
 
 def sharded_fraction(tree) -> float:

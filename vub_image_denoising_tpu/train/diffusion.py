@@ -376,6 +376,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize dense blocks in backward (fits larger "
                         "batches in HBM)")
+    p.add_argument("--param-sharding", type=str, default="replicated",
+                   choices=["replicated", "fsdp"],
+                   help="fsdp shards params + Adam moments over the data mesh "
+                        "axis (ZeRO; parallel/fsdp.py) — frees replicated-state "
+                        "HBM on slices/pods")
     return p
 
 
@@ -419,6 +424,7 @@ def train(args, train_loader=None, val_loader=None):
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         engine=getattr(args, "engine", "flax"),
         remat=getattr(args, "remat", False),
+        param_sharding=getattr(args, "param_sharding", "replicated"),
     )
     try:
         from tensorboardX import SummaryWriter
