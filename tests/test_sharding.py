@@ -112,23 +112,25 @@ def test_fsdp_spec_rule():
 
 
 def test_fsdp_train_step_matches_replicated():
-    """FSDP-sharded params/opt-state: the train step compiles with XLA-inserted
-    collectives, keeps the state sharded across steps, and the resulting params
-    match the replicated (pure-DP) run."""
+    """FSDP-sharded params/opt-state: the train step (with the reference's
+    gradient accumulation — a lax.scan over micro-batches against the sharded
+    grad accumulator) compiles with XLA-inserted collectives, keeps the state
+    sharded across steps, and the resulting params match the replicated
+    (pure-DP) run."""
     from vub_image_denoising_tpu.parallel import sharded_fraction
 
     model = RDUNet(channels=3, base_filters=8)  # 8 channels -> shardable on 8 devices
-    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
-    y = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 3))
 
     def run(param_sharding):
         mesh = make_mesh()
         trainer = SupervisedTrainer(
-            model, lr=1e-3, accumulation_steps=1, mesh=mesh,
+            model, lr=1e-3, accumulation_steps=2, mesh=mesh,
             param_sharding=param_sharding,
         )
         state = trainer.init(
-            jax.random.PRNGKey(2), jnp.zeros((8, 16, 16, 3)), steps_per_epoch=1
+            jax.random.PRNGKey(2), jnp.zeros((16, 16, 16, 3)), steps_per_epoch=1
         )
         frac = sharded_fraction(state.params)
         xb = jax.device_put(x, shard_batch(mesh))
