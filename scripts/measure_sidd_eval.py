@@ -79,7 +79,11 @@ def main():
     blocks = SIDDMatBlocks(os.path.join(tmp, "noisy.mat"), os.path.join(tmp, "gt.mat"))
     ref = None
     for engine in args.engines.split(","):
-        sampler = load_sampler(ckpt, bf16=True, engine=engine)
+        # --checkpoint files are user-supplied -> trusted for the unpickling
+        # fallback (pre-r3 checkpoints from this framework carry a pickled
+        # optax tree)
+        sampler = load_sampler(ckpt, bf16=True, engine=engine,
+                               trusted=bool(args.checkpoint))
         res = evaluate_sidd(sampler, blocks, evaluation_percentage=1.0, batch_size=8,
                             csv_path=None)
         print(f"{engine:7s} wall {res['avg_inference_time_ms']:7.1f} ms/blk  "

@@ -34,18 +34,23 @@ BENCHMARK_URL = (
 
 
 def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 20,
-                 bf16: bool = False, fused: bool = False, engine: str = "auto"):
+                 bf16: bool = False, fused: bool = False, engine: str = "auto",
+                 trusted: bool = False):
     """Build the jitted improved-sampling function from a .pth diffusion checkpoint.
 
     ``engine``: 'flax' (reference-exact conv order — the strict-f32 parity path),
     'xla' (optimized XLA engine: fastest throughput), 'pallas' (fused Pallas
     blocks: small-batch latency), or 'auto' (xla under bf16, flax under strict
-    f32).  ``fused=True`` is back-compat for engine='pallas'."""
+    f32).  ``fused=True`` is back-compat for engine='pallas'.  ``trusted=True``
+    allows the full-unpickling torch.load fallback for checkpoints that fail
+    the safe weights-only path (pre-r3 files from this framework) — only for
+    files the user supplied themselves."""
     unet = RDUNetT(base_filters=base_filters)
     dummy = jnp.zeros((1, 64, 64, 3))
     params = jax.eval_shape(unet.init, jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), params)
-    params, _ = ckpt_io.load_pth(checkpoint_path, params, prefix="unet.")
+    params, _ = ckpt_io.load_pth(checkpoint_path, params, prefix="unet.",
+                                 allow_pickle=trusted)
     diffusion = InterpolationDiffusion(timesteps=timesteps)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if not bf16:
@@ -76,7 +81,8 @@ def main_validate(args):
     blocks = SIDDMatBlocks(args.noisy_mat, args.gt_mat)
     sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
                            args.bf16, getattr(args, "fused", False),
-                           getattr(args, "engine", "auto"))
+                           getattr(args, "engine", "auto"),
+                           trusted=getattr(args, "trusted_checkpoint", False))
     results = evaluate_sidd(
         sampler, blocks, evaluation_percentage=args.evaluation_percentage,
         batch_size=args.batch_size, seed=args.seed, csv_path=args.csv,
@@ -94,7 +100,8 @@ def main_benchmark(args):
             f"{args.benchmark_mat} not found; download it from {BENCHMARK_URL}"
         )
     sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
-                           args.bf16, getattr(args, "fused", False))
+                           args.bf16, getattr(args, "fused", False),
+                           trusted=getattr(args, "trusted_checkpoint", False))
     out = make_kaggle_submission(sampler, args.benchmark_mat, args.output,
                                  batch_size=args.batch_size)
     print(f"Saved submission to {out}")
@@ -124,9 +131,16 @@ def main(argv=None):
     v.add_argument("--fused", action="store_true",
                    help="use the Pallas fused-block engine (small-batch latency path)")
     v.add_argument("--engine", default="auto", choices=["auto", "flax", "xla", "pallas"])
+    v.add_argument("--trusted-checkpoint", action="store_true",
+                   help="allow the full-unpickling torch.load fallback for a "
+                        "checkpoint that fails the safe weights-only load "
+                        "(trusted files only)")
 
     b = sub.add_parser("benchmark")
     b.add_argument("--checkpoint", required=True)
+    b.add_argument("--trusted-checkpoint", action="store_true",
+                   help="allow the full-unpickling torch.load fallback "
+                        "(trusted files only)")
     b.add_argument("--benchmark-mat", default="evaluate_SIDD/BenchmarkNoisyBlocksSrgb.mat")
     b.add_argument("--output", default="SubmitSrgb.csv")
     b.add_argument("--base-filters", type=int, default=32)
