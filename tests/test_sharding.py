@@ -150,3 +150,64 @@ def test_fsdp_train_step_matches_replicated():
     # the updated state must STAY sharded (no silent gather-to-replicated)
     assert sharded_fraction(state_f.params) > 0.5
     assert sharded_fraction(state_f.opt_state) > 0.3
+
+
+def test_fsdp_checkpoint_roundtrips_into_replicated_trainer(tmp_path):
+    """Saving from an FSDP-sharded state must gather shards into a normal .pth
+    that a replicated trainer resumes from exactly (params AND optax state)."""
+    from vub_image_denoising_tpu.parallel import sharded_fraction
+
+    model = RDUNet(channels=3, base_filters=8)
+    mesh = make_mesh()
+    fsdp = SupervisedTrainer(
+        model, lr=1e-3, accumulation_steps=1, mesh=mesh, param_sharding="fsdp",
+        checkpoint_every=1, checkpoint_dir=str(tmp_path),
+    )
+    state = fsdp.init(jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)),
+                      steps_per_epoch=1)
+    assert sharded_fraction(state.params) > 0.5
+    path = fsdp.maybe_checkpoint(state, epoch=0)
+
+    rep = SupervisedTrainer(model, lr=1e-3, accumulation_steps=1,
+                            mesh=make_mesh())
+    rstate = rep.init(jax.random.PRNGKey(9), jnp.zeros((8, 16, 16, 3)),
+                      steps_per_epoch=1)
+    rstate, epoch = rep.load_checkpoint(rstate, path)
+    assert epoch == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves((state.params, state.opt_state)),
+        jax.tree_util.tree_leaves((rstate.params, rstate.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_sharded_train_step_matches_batch_sharded():
+    """Spatially-partitioned input (H split over the mesh, shard_spatial) must
+    produce the same loss/params as the pure-DP batch sharding: XLA inserts the
+    conv halo exchanges; the jitted step itself is unchanged.  This is the
+    high-resolution training mode (one image larger than a device's HBM)."""
+    from vub_image_denoising_tpu.parallel import shard_spatial
+
+    model = RDUNet(channels=3, base_filters=4)
+    # H=64: divisible by 8 shards x downsampling factor 8 -> even shards at
+    # every scale
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    def run(devices, make_sharding):
+        mesh = make_mesh(devices)
+        trainer = SupervisedTrainer(model, lr=1e-3, accumulation_steps=1,
+                                    mesh=mesh)
+        state = trainer.init(jax.random.PRNGKey(2), jnp.zeros((2, 64, 64, 3)),
+                             steps_per_epoch=1)
+        xb = jax.device_put(x, make_sharding(mesh))
+        yb = jax.device_put(y, make_sharding(mesh))
+        state, loss = trainer._jit_step(state, xb, yb)
+        return float(loss), jax.device_get(state.params)
+
+    loss_s, params_s = run(jax.devices(), shard_spatial)  # H split 8 ways
+    loss_b, params_b = run(jax.devices()[:1], shard_batch)  # single device
+    np.testing.assert_allclose(loss_s, loss_b, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_s),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

@@ -8,5 +8,6 @@ from .mesh import (
     put_replicated,
     replicate,
     shard_batch,
+    shard_spatial,
 )
 from .tiles import denoise_large_image

@@ -45,6 +45,21 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_spatial(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for an NHWC batch: split the HEIGHT dim over ``axis``.
+
+    Spatial partitioning for high-resolution training/inference where even a
+    batch of one image per device is too large: XLA's SPMD partitioner inserts
+    the conv halo exchanges (and the down/upsample re-balancing collectives)
+    automatically, so the SAME jitted train step runs unmodified — only the
+    input placement changes.  H must be divisible by the axis size times the
+    model's total downsampling factor (8 for RDUNet) for even shards at every
+    scale.  The pure-DP analog is ``shard_batch``; agreement with it is
+    asserted in tests/test_sharding.py.
+    """
+    return NamedSharding(mesh, P(None, axis))
+
+
 def put_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device_put a host batch (pytree of arrays) with batch-dim sharding."""
     sh = shard_batch(mesh, axis)

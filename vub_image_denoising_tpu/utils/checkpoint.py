@@ -96,7 +96,9 @@ def params_to_torch_state_dict(variables: Dict[str, Any], prefix: str = "") -> D
     for tree in collections:
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             names = [p.key for p in path]
-            leaf = np.asarray(jax.device_get(leaf))
+            # copy=True: device_get can return read-only views, which torch
+            # warns about on from_numpy
+            leaf = np.array(jax.device_get(leaf), copy=True)
             key, w = _torch_key_and_tensor(names, leaf)
             out[prefix + key] = torch.from_numpy(np.ascontiguousarray(w))
             if key.endswith("running_var"):
