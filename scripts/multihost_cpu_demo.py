@@ -144,6 +144,33 @@ def main():
     assert np.isfinite(fsdp_loss)
     assert sharded_fraction(state.params) > 0.5, "state lost its FSDP sharding"
 
+    # checkpoint FROM the cross-process FSDP state: the gathers are collectives
+    # (host_replicated_copy), only process 0 writes; then every process resumes
+    # the .pth into a replicated trainer and must see identical params
+    import shutil
+
+    from jax.experimental import multihost_utils
+
+    from vub_image_denoising_tpu.utils import checkpoint as ckpt_io
+
+    ckdir = "/tmp/vub_mh_fsdp_ckpt"
+    if jax.process_index() == 0:
+        shutil.rmtree(ckdir, ignore_errors=True)
+    multihost_utils.sync_global_devices("ckdir_clean")
+    trainer.checkpoint_dir = ckdir
+    trainer.checkpoint_every = 1
+    path = trainer.maybe_checkpoint(state, epoch=0)
+    multihost_utils.sync_global_devices("ckpt_written")
+    rep = SupervisedTrainer(fsdp_model, lr=1e-3, accumulation_steps=1, mesh=mesh)
+    rstate = rep.init(jax.random.PRNGKey(5), x[:1], steps_per_epoch=1)
+    rstate, epoch = rep.load_checkpoint(rstate, path)
+    assert epoch == 1
+    want = ckpt_io.host_replicated_copy(state.params)
+    got = jax.device_get(rstate.params)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     print(
         f"proc {jax.process_index()}/{nproc}: devices {len(jax.devices())} "
         f"out {y.shape} local|y|={local_mean:.5f} global|y|={global_mean:.5f} "

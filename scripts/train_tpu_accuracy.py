@@ -171,9 +171,10 @@ def main():
         jnp.zeros((args.batch_size, args.size, args.size, 3), jnp.bfloat16),
         steps_per_epoch=args.sched_steps_per_epoch or steps_per_epoch,
     )
+    start_epoch = 0
     if args.resume:
-        state, resumed_epoch = trainer.load_checkpoint(state, args.resume)
-        print(f"resumed from {args.resume} (epoch {resumed_epoch})", flush=True)
+        state, start_epoch = trainer.load_checkpoint(state, args.resume)
+        print(f"resumed from {args.resume} (epoch {start_epoch})", flush=True)
 
     # fixed held-out noisy/clean pairs (quantized-uint8 noise, the C1 model)
     if sigma_list is not None:
@@ -243,21 +244,27 @@ def main():
 
     final, per_image = evaluate(state)
     best = max(best, final)
+    # label checkpoints/results with the GLOBAL epoch (resume offset included)
+    # so a continuation never clobbers the checkpoint it resumed from
+    global_last = start_epoch + args.epochs - 1
     if args.algo == "diffusion":
-        trainer.save_epoch_checkpoint(state, args.epochs - 1)
+        trainer.save_epoch_checkpoint(state, global_last)
     else:
-        trainer.maybe_checkpoint(state, args.epochs - 1, force=True)
+        trainer.maybe_checkpoint(state, global_last, force=True)
     result = {
         "metric": f"rdunet_{args.algo}_synthetic_psnr",
-        "sigma": sigma,
+        # the scalar sigma is meaningless (unused) under --sigma-list
+        "sigma": None if sigma_list is not None else sigma,
         "base_filters": args.base_filters,
-        "epochs": args.epochs,
-        "steps": args.epochs * steps_per_epoch,
+        "epochs": global_last + 1,
+        "steps": (global_last + 1) * steps_per_epoch,
         "psnr_noisy_db": round(psnr_noisy, 2),
         "psnr_denoised_db": round(final, 2),
         "psnr_best_db": round(best, 2),
         "train_seconds": round(time.time() - t_train0, 1),
     }
+    if start_epoch:
+        result["resumed_from_epoch"] = start_epoch
     if sigma_list is not None:
         result["sigma_list"] = sigma_list
         result["psnr_by_sigma_db"] = {

@@ -153,5 +153,14 @@ def test_rca_gan_one_training_round(tmp_path):
     assert path.endswith("checkpoint_epoch_10.pth")
     import torch as _torch
 
-    payload = _torch.load(path, map_location="cpu", weights_only=False)
-    assert {"epoch", "generator_state_dict", "discriminator_state_dict"} <= set(payload)
+    # must load under the safe weights-only default (no pickled optax trees)
+    payload = _torch.load(path, map_location="cpu", weights_only=True)
+    assert {"epoch", "generator_state_dict", "discriminator_state_dict",
+            "optax_g_leaves", "optax_d_leaves"} <= set(payload)
+    # the leaves rebuild into the trainer's own opt-state structure
+    from vub_image_denoising_tpu.utils import checkpoint as _ckpt
+
+    rebuilt = _ckpt.safe_to_optax_state(payload["optax_g_leaves"], state.g_opt)
+    for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                    jax.tree_util.tree_leaves(state.g_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

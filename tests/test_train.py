@@ -408,3 +408,29 @@ def test_graceful_shutdown_checkpoints_and_stops(tmp_path):
     assert (tmp_path / trainer.checkpoint_name).exists()  # force-saved
     # handlers restored: SIGTERM is back to its previous disposition
     assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.Handlers.SIG_DFL)
+
+
+def test_diffusion_validate_with_tensorboard_writer():
+    """validate() with a live writer must log the scalar AND the image grids
+    (the default CLI path has tensorboardX installed, so this branch runs in
+    production; it once held a NameError on np that writer=None tests missed)."""
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars, self.images = [], []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, float(value), step))
+
+        def add_image(self, tag, img, step, dataformats=None):
+            self.images.append((tag, np.asarray(img).shape, step))
+
+    trainer = DiffusionTrainer(base_filters=4, timesteps=4)
+    trainer.writer = FakeWriter()
+    state = trainer.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 16, 16, 3)), steps_per_epoch=1
+    )
+    vloss, denoised = trainer.validate(state, _loader(batch_size=4), epoch=0)
+    assert np.isfinite(vloss)
+    assert trainer.writer.scalars and trainer.writer.scalars[0][0] == "Loss/validation"
+    assert len(trainer.writer.images) == 3  # clean / noisy / denoised grids

@@ -114,6 +114,39 @@ class PatchLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _shard_trim(self, n: int, n_shards: int) -> int:
+        """Multi-process policy for a batch not divisible by the sharded batch
+        axis (every process must place the same global shape, so the
+        single-process one-device fallback is impossible).
+
+        Training loaders (drop_last=True) only ever see full batches, so a
+        non-divisible size means the CONFIGURED batch_size is wrong — fail
+        fast rather than silently shrink every step of the run.  Validation
+        loaders (drop_last=False) trim the batch to the largest shard multiple
+        (the tail loses < n_shards samples from the metrics) instead of
+        crashing.  Returns the kept length (0 = skip this batch)."""
+        keep = (n // n_shards) * n_shards
+        if keep == n:
+            return n
+        if self.drop_last:
+            raise ValueError(
+                f"batch_size {self.batch_size} does not split over the "
+                f"{n_shards}-way sharded batch axis in a multi-process run; "
+                "every training batch would be trimmed — pick a divisible "
+                "batch_size"
+            )
+        if not getattr(self, "_warned_trim", False):
+            self._warned_trim = True
+            import warnings
+
+            warnings.warn(
+                f"batch of {n} does not split over the {n_shards}-way sharded "
+                f"batch axis in a multi-process run; trimming to {keep} samples "
+                "(pick a divisible batch_size to keep them all)",
+                stacklevel=3,
+            )
+        return keep
+
     def _batch_indices(self):
         n = len(self.dataset)
         idx = np.arange(n)
@@ -153,18 +186,7 @@ class PatchLoader:
                 from ..parallel.mesh import local_batch_rows
 
                 n_shards = _batch_axis_shards(self.sharding)
-                keep = (len(batch_idx) // n_shards) * n_shards
-                if keep < len(batch_idx) and not getattr(self, "_warned_trim", False):
-                    self._warned_trim = True
-                    import warnings
-
-                    warnings.warn(
-                        f"batch of {len(batch_idx)} does not split over the "
-                        f"{n_shards}-way sharded batch axis in a multi-process "
-                        f"run; trimming to {keep} samples "
-                        "(pick a divisible batch_size to keep them all)",
-                        stacklevel=2,
-                    )
+                keep = self._shard_trim(len(batch_idx), n_shards)
                 if keep == 0:
                     return None, None, step  # tail smaller than the mesh: skip
                 rows = local_batch_rows(self.sharding, keep)
@@ -206,22 +228,7 @@ class PatchLoader:
                 n_shards = _batch_axis_shards(sh) if batch else 1
                 if batch and batch[0].shape[0] % n_shards != 0:
                     if jax.process_count() > 1:
-                        # Multi-process: every process must place the same global
-                        # shape, so a single-device fallback is impossible.  Trim
-                        # the tail batch to the largest shard multiple (metrics
-                        # lose <n_shards samples) rather than crash validation.
-                        keep = (batch[0].shape[0] // n_shards) * n_shards
-                        if not getattr(self, "_warned_trim", False):
-                            self._warned_trim = True
-                            import warnings
-
-                            warnings.warn(
-                                f"batch of {batch[0].shape[0]} does not split over "
-                                f"the {n_shards}-way sharded batch axis in a "
-                                f"multi-process run; trimming to {keep} samples "
-                                "(pick a divisible batch_size to keep them all)",
-                                stacklevel=2,
-                            )
+                        keep = self._shard_trim(batch[0].shape[0], n_shards)
                         if keep == 0:
                             return None  # tail smaller than the mesh: skip it
                         batch = tuple(x[:keep] for x in batch)

@@ -212,11 +212,7 @@ def evaluate_model_and_plot(
 
                 if use_bm3d:
                     try:
-                        try:
-                            import bm3d
-                        except ImportError:
-                            from ..ops import bm3d
-
+                        # 'bm3d' was resolved once at function scope above
                         deg01 = denormalize(degraded_np[j]).mean(axis=-1)
                         gt01 = denormalize(gt_np[j]).mean(axis=-1)
                         den = bm3d.bm3d(deg01, sigma_psd=30 / 255,

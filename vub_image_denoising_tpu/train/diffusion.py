@@ -30,6 +30,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..diffusion.interpolation import InterpolationDiffusion
@@ -264,7 +265,7 @@ class DiffusionTrainer:
         )
         # native orbax sidecar: the full train state (params + optax state + step),
         # atomic and layout-exact, for resume without the torch interop round-trip
-        ckpt_io.save_orbax(path + ".orbax", jax.device_get(state))
+        ckpt_io.save_orbax(path + ".orbax", ckpt_io.host_replicated_copy(state))
         return path
 
     def load_checkpoint(self, state, checkpoint_path: Optional[str]):
@@ -278,7 +279,7 @@ class DiffusionTrainer:
             # exact resume from the native sidecar (full state, no torch round-trip)
             import torch
 
-            restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
+            restored = ckpt_io.restore_orbax(sidecar, ckpt_io.host_replicated_copy(state))
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             state = self._put_state(restored)

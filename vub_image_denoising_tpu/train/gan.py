@@ -269,8 +269,11 @@ class RCAGANTrainer:
             ),
             "optimizer_G_state_dict": {},
             "optimizer_D_state_dict": {},
-            "optax_g": jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_opt)),
-            "optax_d": jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_opt)),
+            # flattened tensors (not pickled optax trees) so the file loads
+            # under torch.load's safe weights-only default; rebuild with
+            # ckpt_io.safe_to_optax_state against a live trainer's opt states
+            "optax_g_leaves": ckpt_io.optax_state_to_safe(state.g_opt),
+            "optax_d_leaves": ckpt_io.optax_state_to_safe(state.d_opt),
         }
         torch.save(payload, path)
         return path

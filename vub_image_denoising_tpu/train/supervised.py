@@ -215,7 +215,7 @@ class SupervisedTrainer:
                        "optax_leaves": ckpt_io.optax_state_to_safe(state.opt_state)},
             )
             # native orbax sidecar: full train state for exact resume
-            ckpt_io.save_orbax(path + ".orbax", jax.device_get(state))
+            ckpt_io.save_orbax(path + ".orbax", ckpt_io.host_replicated_copy(state))
             return path
         return None
 
@@ -228,7 +228,7 @@ class SupervisedTrainer:
         if os.path.isdir(sidecar):
             import torch
 
-            restored = ckpt_io.restore_orbax(sidecar, jax.device_get(state))
+            restored = ckpt_io.restore_orbax(sidecar, ckpt_io.host_replicated_copy(state))
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             return self._put_state(restored), epoch

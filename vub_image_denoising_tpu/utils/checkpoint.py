@@ -84,6 +84,10 @@ def params_to_torch_state_dict(variables: Dict[str, Any], prefix: str = "") -> D
     """
     import torch
 
+    # one host gather for the whole tree (multi-process-safe for FSDP state;
+    # host_replicated_copy is a collective — all processes reach this together)
+    variables = host_replicated_copy(variables)
+
     collections = []
     if "params" in variables:
         collections.append(variables["params"])
@@ -183,6 +187,34 @@ def load_torch_payload(path: str, *, allow_pickle: bool = False):
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def host_replicated_copy(tree):
+    """Host numpy copy of a (possibly sharded) pytree, correct on pods.
+
+    ``jax.device_get`` raises for arrays spanning non-addressable devices
+    (FSDP-sharded state on a multi-process mesh); ``process_allgather``
+    reassembles the full value on every host instead.  Single-process arrays
+    (including locally-sharded FSDP state) gather via plain device_get.  On a
+    multi-process mesh this is a COLLECTIVE — every process must call it."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    needs_allgather = jax.process_count() > 1 and any(
+        getattr(x, "sharding", None) is not None
+        and not x.sharding.is_fully_replicated
+        and not getattr(x, "is_fully_addressable", True)
+        for x in leaves
+    )
+    if needs_allgather:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
+def _this_process_writes() -> bool:
+    """On a multi-process mesh only process 0 writes checkpoint files (all
+    processes participate in the gathers); single-process always writes."""
+    return jax.process_count() <= 1 or jax.process_index() == 0
+
+
 def optax_state_to_safe(opt_state) -> list:
     """Flatten an optax state pytree to a list of torch tensors.
 
@@ -194,7 +226,7 @@ def optax_state_to_safe(opt_state) -> list:
     defaults (torch >= 2.6 is weights-only by default)."""
     import torch
 
-    leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+    leaves = jax.tree_util.tree_leaves(host_replicated_copy(opt_state))
     out = []
     for leaf in leaves:
         # copy=True: device_get leaves can be read-only views, which torch
@@ -246,16 +278,20 @@ def save_pth(
     import torch
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # the gather inside params_to_torch_state_dict is a collective on
+    # multi-process meshes: ALL processes run it, only process 0 writes
     sd = params_to_torch_state_dict(params, prefix=prefix)
     if bare:
-        torch.save(sd, path)
+        if _this_process_writes():
+            torch.save(sd, path)
         return
     payload: Dict[str, Any] = {"model_state_dict": sd}
     if epoch is not None:
         payload["epoch"] = epoch
     if extra:
         payload.update(extra)
-    torch.save(payload, path)
+    if _this_process_writes():
+        torch.save(payload, path)
 
 
 def load_pth(
@@ -285,7 +321,12 @@ def load_pth(
 # ---------------------------------------------------------------------------
 
 def save_orbax(path: str, state: Any):
-    """Atomically save a full train-state pytree with orbax."""
+    """Atomically save a full train-state pytree with orbax.
+
+    Callers on multi-process meshes pass a host-gathered state
+    (``host_replicated_copy``).  Orbax is itself multihost-aware (internal
+    ``sync_global_devices`` barriers; the primary host writes), so EVERY
+    process must make this call — do not gate it on process 0."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
