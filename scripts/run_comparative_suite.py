@@ -117,8 +117,12 @@ def main():
     for variant in ("degraded", "unet", "diffusion", "bm3d"):
         for key in ("psnr", "ssim"):
             vals = np.asarray(metrics[f"{key}_{variant}"], np.float64)
+            if not np.isfinite(vals).any():
+                continue  # variant not run (e.g. --no-bm3d): omit rather than
+                # emit the non-JSON NaN token into summary.json
             summary[f"{key}_{variant}_by_sigma"] = {
-                str(int(lv)): round(float(np.nanmean(vals[nl == lv])), 3)
+                str(int(lv)): (round(float(np.nanmean(vals[nl == lv])), 3)
+                               if np.isfinite(vals[nl == lv]).any() else None)
                 for lv in noise_levels
             }
     summary["inference_ms_mean"] = {

@@ -174,6 +174,11 @@ def main():
     start_epoch = 0
     if args.resume:
         state, start_epoch = trainer.load_checkpoint(state, args.resume)
+        # continue the RNG streams where the original run left them: the loader
+        # shuffle is seed+epoch and the noise/timestep keys fold in the epoch
+        # number, so a continuation must NOT restart the epoch counter at 0 (it
+        # would replay byte-identical batches/noise of the original run)
+        loader.epoch = start_epoch
         print(f"resumed from {args.resume} (epoch {start_epoch})", flush=True)
 
     # fixed held-out noisy/clean pairs (quantized-uint8 noise, the C1 model)
@@ -223,23 +228,24 @@ def main():
 
     best = -1.0
     t_train0 = time.time()
-    for epoch in range(args.epochs):
+    end_epoch = start_epoch + args.epochs
+    for epoch in range(start_epoch, end_epoch):
         te = time.time()
         if args.algo == "diffusion":
             state, loss = trainer.train_epoch(state, loader, jax.random.PRNGKey(7), epoch)
         else:
             state, loss = trainer.train_epoch(state, loader, epoch)
-        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+        if (epoch + 1) % args.eval_every == 0 or epoch == end_epoch - 1:
             p, _ = evaluate(state)
             best = max(best, p)
             print(
-                f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
+                f"epoch {epoch + 1}/{end_epoch} loss {loss:.4f} "
                 f"val PSNR {p:.2f} dB (best {best:.2f}) "
                 f"[{time.time() - te:.1f}s/epoch]",
                 flush=True,
             )
         else:
-            print(f"epoch {epoch + 1}/{args.epochs} loss {loss:.4f} "
+            print(f"epoch {epoch + 1}/{end_epoch} loss {loss:.4f} "
                   f"[{time.time() - te:.1f}s/epoch]", flush=True)
 
     final, per_image = evaluate(state)

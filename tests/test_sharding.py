@@ -111,6 +111,34 @@ def test_fsdp_spec_rule():
     assert fsdp_spec_for_shape((3, 3, 64, 128), 1) == P()
 
 
+def test_init_fsdp_state_born_sharded():
+    """init_fsdp_state must return leaves ALREADY carrying their FSDP sharding
+    (jit out_shardings places them at init — the replicated full state is never
+    materialized), matching fsdp_shardings' specs leaf-for-leaf."""
+    from vub_image_denoising_tpu.parallel.fsdp import (
+        fsdp_shardings, init_fsdp_state,
+    )
+
+    mesh = make_mesh()
+
+    def create(key):
+        return {
+            "w": jax.random.normal(key, (3, 3, 64, 128)),  # shardable on O
+            "b": jnp.zeros((8,)),  # small -> replicated
+        }
+
+    state = init_fsdp_state(create, mesh, jax.random.PRNGKey(0))
+    want = fsdp_shardings(jax.eval_shape(create, jax.random.PRNGKey(0)), mesh)
+    assert state["w"].sharding == want["w"]
+    assert state["w"].sharding.spec == P(None, None, None, "data")
+    assert state["b"].sharding.is_fully_replicated
+    # and the values equal an eager init (out_shardings must not change math)
+    np.testing.assert_allclose(
+        np.asarray(state["w"]), np.asarray(create(jax.random.PRNGKey(0))["w"]),
+        rtol=1e-6,
+    )
+
+
 def test_fsdp_train_step_matches_replicated():
     """FSDP-sharded params/opt-state: the train step (with the reference's
     gradient accumulation — a lax.scan over micro-batches against the sharded

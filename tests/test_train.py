@@ -126,11 +126,37 @@ def test_diffusion_trainer_epoch_and_resume(tmp_path):
     assert e0 == 0
 
 
+def _schedule_and_adam_counts(opt_state):
+    """(schedule counts, optimizer counts) from an optax chain state."""
+    sched, opt = [], []
+
+    def rec(node):
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            name = type(node).__name__
+            if name == "ScaleByScheduleState":
+                sched.append(int(node.count))
+                return
+            if "count" in node._fields:
+                opt.append(int(node.count))
+            for c in node:
+                if isinstance(c, tuple):
+                    rec(c)
+        elif isinstance(node, tuple):
+            for c in node:
+                rec(c)
+
+    rec(opt_state)
+    return sched, opt
+
+
 def test_torch_pth_resume_fast_forwards_schedule(tmp_path):
     """Resuming from a reference-written .pth (model_state_dict + epoch +
-    scheduler_state_dict, NO optax payload) must fast-forward the optax
-    schedule/Adam counters to epoch*steps_per_epoch — the information the
-    reference restores via scheduler_state_dict (diffusion_RDUnet.py:186-189)."""
+    scheduler_state_dict, NO optax payload) must fast-forward the optax LR
+    SCHEDULE counter to epoch*steps_per_epoch — the information the reference
+    restores via scheduler_state_dict (diffusion_RDUnet.py:186-189) — while the
+    optimizer counter stays 0: the reference's fresh Adam restarts at t=0 with
+    full bias correction (fast-forwarding it over zero moment buffers would
+    make the first post-resume update ~3x too large)."""
     from vub_image_denoising_tpu.utils import checkpoint as ckpt_io
 
     trainer = DiffusionTrainer(base_filters=4, timesteps=4, output_dir=str(tmp_path))
@@ -146,12 +172,9 @@ def test_torch_pth_resume_fast_forwards_schedule(tmp_path):
     assert start_epoch == 3
     expect = 3 * 7
     assert int(state2.step) == expect
-    counts = [
-        int(leaf) for leaf in jax.tree_util.tree_leaves(state2.opt_state)
-        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer)
-        and np.ndim(leaf) == 0
-    ]
-    assert counts and all(c == expect for c in counts), counts
+    sched, opt = _schedule_and_adam_counts(state2.opt_state)
+    assert sched and all(c == expect for c in sched), (sched, opt)
+    assert all(c == 0 for c in opt), (sched, opt)
     # and the supervised trainer does the same
     model = RDUNet(channels=3, base_filters=4)
     st = SupervisedTrainer(model, checkpoint_dir=str(tmp_path))
@@ -162,12 +185,9 @@ def test_torch_pth_resume_fast_forwards_schedule(tmp_path):
                                                    "optimizer_state_dict": {}})
     s_state2, ep = st.load_checkpoint(s_state, spath)
     assert ep == 2 and int(s_state2.step) == 10
-    s_counts = [
-        int(leaf) for leaf in jax.tree_util.tree_leaves(s_state2.opt_state)
-        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer)
-        and np.ndim(leaf) == 0
-    ]
-    assert s_counts and all(c == 10 for c in s_counts), s_counts
+    s_sched, s_opt = _schedule_and_adam_counts(s_state2.opt_state)
+    assert s_sched and all(c == 10 for c in s_sched), (s_sched, s_opt)
+    assert all(c == 0 for c in s_opt), (s_sched, s_opt)
 
 
 def test_supervised_orbax_resume_is_exact(tmp_path):

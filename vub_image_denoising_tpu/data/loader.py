@@ -71,6 +71,20 @@ def _collate(items):
     return tuple(cols)
 
 
+def _batch_axis_shards(sh) -> int:
+    """Number of ways dim 0 is split — the product of the mesh-axis sizes
+    in the spec's first entry (NOT sh.num_devices: on a multi-axis mesh,
+    e.g. ('data','tile'), only the 'data' extent divides the batch)."""
+    spec = getattr(sh, "spec", None)
+    if spec is None or len(spec) == 0 or spec[0] is None:
+        return 1
+    axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    n = 1
+    for a in axes:
+        n *= sh.mesh.shape[a]
+    return n
+
+
 class PatchLoader:
     """Iterable over device-resident batches.
 
@@ -111,8 +125,20 @@ class PatchLoader:
         self.epoch = 0
 
     def __len__(self):
+        """Number of batches __iter__ will actually yield.
+
+        Matches the multi-process tail policy (_shard_trim): a drop_last=False
+        tail batch smaller than the sharded batch axis is skipped entirely, so
+        it must not be counted — consumers use len() for steps_per_epoch /
+        per-batch averaging and would otherwise disagree with what ran."""
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last:
+            return n // self.batch_size
+        n_full, tail = divmod(n, self.batch_size)
+        if (tail and self.sharding is not None and jax.process_count() > 1
+                and tail < _batch_axis_shards(self.sharding)):
+            tail = 0
+        return n_full + (1 if tail else 0)
 
     def _shard_trim(self, n: int, n_shards: int) -> int:
         """Multi-process policy for a batch not divisible by the sharded batch
@@ -193,19 +219,6 @@ class PatchLoader:
                 host = fetch_rows(np.asarray(batch_idx)[:keep][rows])
                 return host, (rows, keep), step
             return fetch_rows(batch_idx), None, step
-
-        def _batch_axis_shards(sh):
-            """Number of ways dim 0 is split — the product of the mesh-axis sizes
-            in the spec's first entry (NOT sh.num_devices: on a multi-axis mesh,
-            e.g. ('data','tile'), only the 'data' extent divides the batch)."""
-            spec = getattr(sh, "spec", None)
-            if spec is None or len(spec) == 0 or spec[0] is None:
-                return 1
-            axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
-            n = 1
-            for a in axes:
-                n *= sh.mesh.shape[a]
-            return n
 
         def to_device(host, meta, step):
             batch = host

@@ -39,12 +39,17 @@ def _zero_params(model, *example_args):
 
 def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
                    timesteps: int = 20, channels: int = 3, bf16: bool = False,
-                   engine: str = "auto", tile_parallel: bool = False):
+                   engine: str = "auto", tile_parallel: bool = False,
+                   trusted: bool = False):
     """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
 
     arch 'rdunet'   — supervised denoiser (UNet/RDUNet_model.py layout).
     arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed dicts,
                       diffusion_RDUnet.py layout).
+    ``trusted=True`` permits the full-unpickling torch.load fallback for files
+    that fail the safe weights-only path (e.g. trainer checkpoints written
+    before the safe opt-state format, whose 'optax_state' pickles optax
+    namedtuples).
     """
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if not bf16:
@@ -57,7 +62,7 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
     if arch == "rdunet":
         model = RDUNet(channels=channels, base_filters=base_filters)
         params = _zero_params(model, jnp.zeros((1, 64, 64, channels)))
-        params, _ = ckpt_io.load_pth(checkpoint, params)
+        params, _ = ckpt_io.load_pth(checkpoint, params, allow_pickle=trusted)
         if engine == "flax":
             apply_fn = model.apply
         else:
@@ -76,7 +81,8 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
             )
         unet = RDUNetT(base_filters=base_filters)
         params = _zero_params(unet, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
-        params, _ = ckpt_io.load_pth(checkpoint, params, prefix="unet.")
+        params, _ = ckpt_io.load_pth(checkpoint, params, prefix="unet.",
+                                     allow_pickle=trusted)
         diffusion = InterpolationDiffusion(timesteps=timesteps)
         if engine == "flax":
             unet_fn = unet.apply
@@ -149,13 +155,16 @@ def main(argv=None):
                    choices=["auto", "flax", "xla", "pallas"])
     p.add_argument("--tile-parallel", action="store_true",
                    help="shard image rows across all visible devices")
+    p.add_argument("--trusted-checkpoint", action="store_true",
+                   help="permit the full-unpickling torch.load fallback when the "
+                        "safe weights-only load fails (trusted files only)")
     args = p.parse_args(argv)
 
     channels = 1 if args.grayscale else 3
     denoise_fn = build_denoiser(
         args.checkpoint, args.arch, args.base_filters, args.timesteps,
         channels=channels, bf16=args.bf16, engine=args.engine,
-        tile_parallel=args.tile_parallel,
+        tile_parallel=args.tile_parallel, trusted=args.trusted_checkpoint,
     )
 
     if os.path.isdir(args.input):

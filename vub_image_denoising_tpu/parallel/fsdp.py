@@ -56,12 +56,16 @@ def put_fsdp(tree, mesh: Mesh, min_shard_elems: int = 1024):
     Multi-process meshes (pods): ``jax.device_put`` cannot target devices this
     process does not own, so the global arrays are assembled per-shard via
     ``make_array_from_callback`` from the (process-identical) host values —
-    each process materializes only its own shards."""
+    each process materializes only its own shards.  Leaves already carrying
+    their target sharding (``init_fsdp_state`` output) pass through untouched
+    — essential multi-process, where such arrays are not host-readable."""
     shardings = fsdp_shardings(tree, mesh, min_shard_elems)
 
     if jax.process_count() > 1:
 
         def put(x, s):
+            if getattr(x, "sharding", None) == s:
+                return x
             a = np.asarray(x)
             return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
@@ -71,6 +75,26 @@ def put_fsdp(tree, mesh: Mesh, min_shard_elems: int = 1024):
             return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(put, tree, shardings)
+
+
+def init_fsdp_state(create_fn, mesh: Mesh, *args, min_shard_elems: int = 1024):
+    """Run a state-initializer with every output leaf born ALREADY sharded.
+
+    ``jax.jit(create_fn, out_shardings=<fsdp specs>)`` lets XLA place each
+    param / optimizer-moment leaf directly into its FSDP shard, so peak HBM at
+    init is the SHARDED footprint — the full replicated params + f32 Adam
+    moments are never materialized on one device (for models whose replicated
+    state exceeds a chip's HBM, init would otherwise OOM before training ever
+    started).  Under ``jax.disable_jit()`` (tests/dryruns use eager init for
+    XLA-CPU compile speed) out_shardings is ignored and the caller's
+    ``put_fsdp`` pass reshards after the fact."""
+    shapes = jax.eval_shape(create_fn, *args)
+    n = mesh.shape["data"]
+    out_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, fsdp_spec_for_shape(s.shape, n, min_shard_elems)),
+        shapes,
+    )
+    return jax.jit(create_fn, out_shardings=out_sh)(*args)
 
 
 def sharded_fraction(tree) -> float:

@@ -171,7 +171,6 @@ class DiffusionTrainer:
         self.ensure_mesh()
         self.steps_per_epoch = max(1, steps_per_epoch)
         n = sample_noisy.shape[0]
-        params = jax.jit(self.unet.init)(key, sample_noisy, jnp.zeros((n,)))
         self.tx = make_optimizer(
             self.optimizer_choice,
             lr=self.lr,
@@ -180,7 +179,18 @@ class DiffusionTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        state = TrainState.create(params, self.tx)
+        if self.param_sharding == "fsdp":
+            # every leaf is born in its FSDP shard: peak HBM at init is the
+            # sharded footprint, not params + f32 Adam moments replicated
+            from ..parallel.fsdp import init_fsdp_state
+
+            state = init_fsdp_state(
+                lambda k, x, t: TrainState.create(self.unet.init(k, x, t), self.tx),
+                self.mesh, key, sample_noisy, jnp.zeros((n,)),
+            )
+        else:
+            params = jax.jit(self.unet.init)(key, sample_noisy, jnp.zeros((n,)))
+            state = TrainState.create(params, self.tx)
         state = self._put_state(state)
         step = make_diffusion_train_step(
             self._unet_apply,
@@ -304,7 +314,8 @@ class DiffusionTrainer:
         elif start_epoch > 0:
             # reference-written .pth: no optax payload, but the reference restores
             # scheduler position (diffusion_RDUnet.py:186-189) — fast-forward the
-            # schedule/Adam counters so the LR resumes at the right global step
+            # LR-schedule counter (Adam itself restarts at t=0, like the
+            # reference's fresh optimizer)
             from .schedules import fast_forward_opt_state
 
             opt_state = fast_forward_opt_state(opt_state, resume_step)

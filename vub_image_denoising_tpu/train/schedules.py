@@ -68,22 +68,31 @@ def make_optimizer(
 
 
 def fast_forward_opt_state(opt_state, step_count: int):
-    """Set every scalar integer counter in an optax state to ``step_count``.
+    """Fast-forward the LR-schedule position of an optax state to ``step_count``.
 
     Used when resuming from a reference-written .pth that carries epoch +
-    ``scheduler_state_dict`` but no optax payload (diffusion_RDUnet.py:186-189
-    restores the torch scheduler position): the LR schedule and Adam bias
-    correction resume at the right global step even though the moment buffers
-    restart at zero.  All counters in a fresh optax chain are the same global
-    step, so a uniform overwrite is exact for the chains built here
-    (clip -> adam/adamw/adadelta with scale_by_schedule)."""
-    import jax
+    ``scheduler_state_dict`` but no optax payload: the reference restores ONLY
+    the torch scheduler position (diffusion_RDUnet.py:186-189) — its fresh Adam
+    restarts at t=0 with full bias correction.  We therefore overwrite only the
+    ``ScaleByScheduleState`` counters (the LR position) and leave the optimizer
+    counters (e.g. ``ScaleByAdamState.count``) at zero: fast-forwarding Adam's
+    count while its moment buffers are zero would skip bias correction and make
+    the first post-resume update ~(1-b1)/sqrt(1-b2) ≈ 3x too large."""
     import jax.numpy as jnp
 
-    def ff(leaf):
-        if (hasattr(leaf, "dtype") and hasattr(leaf, "ndim")
-                and jnp.issubdtype(leaf.dtype, jnp.integer) and leaf.ndim == 0):
-            return jnp.asarray(step_count, leaf.dtype)
-        return leaf
+    def ff(node):
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            if type(node).__name__ == "ScaleByScheduleState":
+                return node._replace(
+                    count=jnp.asarray(step_count, node.count.dtype)
+                )
+            return type(node)(*(ff(c) for c in node))
+        if isinstance(node, tuple):
+            return tuple(ff(c) for c in node)
+        if isinstance(node, list):
+            return [ff(c) for c in node]
+        if isinstance(node, dict):
+            return {k: ff(v) for k, v in node.items()}
+        return node
 
-    return jax.tree_util.tree_map(ff, opt_state)
+    return ff(opt_state)

@@ -149,7 +149,6 @@ class SupervisedTrainer:
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
         self.steps_per_epoch = max(1, steps_per_epoch)
-        params = jax.jit(self.model.init)(key, sample_noisy)
         self.tx = make_optimizer(
             "adamw",
             lr=self.lr,
@@ -158,7 +157,18 @@ class SupervisedTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        state = TrainState.create(params, self.tx)
+        if self.param_sharding == "fsdp":
+            # every leaf is born in its FSDP shard: peak HBM at init is the
+            # sharded footprint, not params + f32 Adam moments replicated
+            from ..parallel.fsdp import init_fsdp_state
+
+            state = init_fsdp_state(
+                lambda k, x: TrainState.create(self.model.init(k, x), self.tx),
+                self.mesh, key, sample_noisy,
+            )
+        else:
+            params = jax.jit(self.model.init)(key, sample_noisy)
+            state = TrainState.create(params, self.tx)
         state = self._put_state(state)
         apply = self.apply_fn
         if apply is None:

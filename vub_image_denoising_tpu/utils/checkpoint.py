@@ -100,11 +100,13 @@ def params_to_torch_state_dict(variables: Dict[str, Any], prefix: str = "") -> D
     for tree in collections:
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             names = [p.key for p in path]
-            # copy=True: device_get can return read-only views, which torch
-            # warns about on from_numpy
-            leaf = np.array(jax.device_get(leaf), copy=True)
-            key, w = _torch_key_and_tensor(names, leaf)
-            out[prefix + key] = torch.from_numpy(np.ascontiguousarray(w))
+            key, w = _torch_key_and_tensor(names, np.asarray(leaf))
+            # torch.from_numpy needs a writable contiguous buffer (device_get
+            # views are read-only; transposes are non-contiguous) — but leaves
+            # that already qualify are wrapped without another copy
+            if not (w.flags.c_contiguous and w.flags.writeable):
+                w = np.array(w)  # one fresh contiguous writable copy
+            out[prefix + key] = torch.from_numpy(w)
             if key.endswith("running_var"):
                 out[prefix + key[: -len("running_var")] + "num_batches_tracked"] = (
                     torch.zeros((), dtype=torch.long)
@@ -229,16 +231,17 @@ def optax_state_to_safe(opt_state) -> list:
     leaves = jax.tree_util.tree_leaves(host_replicated_copy(opt_state))
     out = []
     for leaf in leaves:
-        # copy=True: device_get leaves can be read-only views, which torch
-        # rejects (non-writable tensor warning)
-        a = np.array(leaf, copy=True)
+        a = np.asarray(leaf)
         if a.dtype.kind not in "fiub" or a.dtype.itemsize == 0:
             a = a.astype(np.float32)
+        elif not (a.flags.c_contiguous and a.flags.writeable):
+            # torch.from_numpy rejects read-only views (device_get leaves)
+            a = np.array(a)
         try:
-            out.append(torch.from_numpy(np.ascontiguousarray(a)))
+            out.append(torch.from_numpy(a))
         except TypeError:
             # dtype torch can't view (e.g. ml_dtypes bfloat16): go through f32
-            out.append(torch.from_numpy(np.ascontiguousarray(a.astype(np.float32))))
+            out.append(torch.from_numpy(a.astype(np.float32)))
     return out
 
 
