@@ -24,6 +24,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_num_cpu_devices", 4)
 
@@ -135,6 +136,22 @@ def main():
         state = trainer.init(jax.random.PRNGKey(3), x[:1], steps_per_epoch=1)
     frac = sharded_fraction(state.params)
     assert frac > 0.5, f"FSDP left {1 - frac:.0%} of params replicated"
+
+    # the jitted born-sharded init path (init_fsdp_state: jit + out_shardings)
+    # across the PROCESS boundary — the trainer init above uses the eager
+    # fallback (disable_jit, for XLA-CPU compile speed), so prove the jitted
+    # path cross-process on a toy tree: every output leaf must land directly
+    # in its FSDP shard spanning both processes' devices.
+    from vub_image_denoising_tpu.parallel.fsdp import init_fsdp_state
+
+    toy = init_fsdp_state(
+        lambda k: {"w": jax.random.normal(k, (4, 4, 16, 64)),
+                   "b": jnp.zeros((8,))},
+        mesh, jax.random.PRNGKey(11),
+    )
+    assert not toy["w"].sharding.is_fully_replicated
+    assert len(toy["w"].sharding.device_set) == jax.device_count()
+    assert sharded_fraction(toy) > 0.9
     noisy = make_global_batch(
         np.asarray(x + 0.01 * np.random.RandomState(4).randn(*x.shape),
                    np.float32), sh
