@@ -45,8 +45,12 @@ class _SyntheticDS:
 
     channels = 3
 
+    def __init__(self, n):
+        # deliberately not a multiple of the batch: exercises tail trimming
+        self.n = n
+
     def __len__(self):
-        return 13  # deliberately not a multiple of 8: exercises tail trimming
+        return self.n
 
     def __getitem__(self, i):
         rng = __import__("numpy").random.RandomState(1000 + i)
@@ -105,16 +109,18 @@ def main():
     # the non-divisible 13-sample tail (trimmed to a shard multiple)
     from vub_image_denoising_tpu.data.loader import PatchLoader
 
-    ds = _SyntheticDS()
+    ndev = jax.device_count()
+    ds = _SyntheticDS(ndev + ndev // 2 + 1)  # one full batch + a sub-shard tail
     batches = {}
     for mode in ("1", "0"):
         os.environ["VUB_SHARDED_FETCH"] = mode
-        loader = PatchLoader(ds, batch_size=8, shuffle=True, sharding=sh,
+        loader = PatchLoader(ds, batch_size=ndev, shuffle=True, sharding=sh,
                              drop_last=False, seed=7)
+        assert len(loader) == 1  # __len__ must agree with the tail-skip policy
         batches[mode] = list(loader)
     assert len(batches["1"]) == len(batches["0"]) == 1, {
         k: len(v) for k, v in batches.items()
-    }  # 13 samples -> one full batch of 8; 5-sample tail < 8 shards is skipped
+    }  # the (ndev//2+1)-sample tail < ndev shards is skipped on both paths
     for b1, b0 in zip(batches["1"], batches["0"]):
         for c1, c0 in zip(b1, b0):
             _shards_equal(c1, c0)
