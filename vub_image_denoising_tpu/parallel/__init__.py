@@ -1,4 +1,5 @@
 from .fsdp import fsdp_shardings, put_fsdp, sharded_fraction
+from .tp import make_tp_mesh, put_tp, tp_shardings
 from .mesh import (
     all_processes_mean,
     init_distributed,

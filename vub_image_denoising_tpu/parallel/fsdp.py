@@ -24,6 +24,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import put_sharded
+
 
 def fsdp_spec_for_shape(shape, n_shards: int, min_shard_elems: int = 1024):
     """PartitionSpec for one leaf: shard the largest dim divisible by
@@ -53,28 +55,9 @@ def fsdp_shardings(tree, mesh: Mesh, min_shard_elems: int = 1024):
 def put_fsdp(tree, mesh: Mesh, min_shard_elems: int = 1024):
     """Device_put a pytree with FSDP shardings (replicated where indivisible).
 
-    Multi-process meshes (pods): ``jax.device_put`` cannot target devices this
-    process does not own, so the global arrays are assembled per-shard via
-    ``make_array_from_callback`` from the (process-identical) host values —
-    each process materializes only its own shards.  Leaves already carrying
-    their target sharding (``init_fsdp_state`` output) pass through untouched
-    — essential multi-process, where such arrays are not host-readable."""
-    shardings = fsdp_shardings(tree, mesh, min_shard_elems)
-
-    if jax.process_count() > 1:
-
-        def put(x, s):
-            if getattr(x, "sharding", None) == s:
-                return x
-            a = np.asarray(x)
-            return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
-
-    else:
-
-        def put(x, s):
-            return jax.device_put(x, s)
-
-    return jax.tree_util.tree_map(put, tree, shardings)
+    Multi-process placement semantics live in `mesh.put_sharded` (each process
+    materializes only its own shards; born-sharded leaves pass through)."""
+    return put_sharded(tree, fsdp_shardings(tree, mesh, min_shard_elems))
 
 
 def init_fsdp_state(create_fn, mesh: Mesh, *args, min_shard_elems: int = 1024):

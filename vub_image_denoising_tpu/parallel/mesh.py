@@ -72,6 +72,33 @@ def put_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def put_sharded(tree, shardings):
+    """Device_put a pytree with per-leaf NamedShardings, multi-process-safe.
+
+    Single-process: plain ``device_put``.  Multi-process (pods):
+    ``jax.device_put`` cannot target devices this process does not own, so
+    each global array is assembled per-shard via ``make_array_from_callback``
+    from the (process-identical) host value — every process materializes only
+    its own shards.  Leaves already carrying their target sharding pass
+    through untouched — essential multi-process, where such arrays are not
+    host-readable.  Shared by `fsdp.put_fsdp` and `tp.put_tp`.
+    """
+    if jax.process_count() > 1:
+
+        def put(x, s):
+            if getattr(x, "sharding", None) == s:
+                return x
+            a = np.asarray(x)
+            return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+    else:
+
+        def put(x, s):
+            return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

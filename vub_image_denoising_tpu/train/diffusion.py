@@ -137,8 +137,10 @@ class DiffusionTrainer:
     engine: str = "flax"
     # rematerialize dense blocks in the backward pass (HBM relief; models/rdunet.py)
     remat: bool = False
-    # 'replicated' or 'fsdp' (params + Adam moments sharded over the data axis,
-    # ZeRO-style; parallel/fsdp.py)
+    # 'replicated', 'fsdp' (params + Adam moments sharded over the data axis,
+    # ZeRO-style; parallel/fsdp.py), or 'tp' (channel tensor parallelism over a
+    # 'model' axis; parallel/tp.py — splits each layer's compute, for batches
+    # too small to shard over data, e.g. the batch-8 T=20 sampler)
     param_sharding: str = "replicated"
 
     def __post_init__(self):
@@ -155,9 +157,15 @@ class DiffusionTrainer:
             )
 
     def ensure_mesh(self):
-        """Create the data-parallel mesh on first use (all local devices)."""
+        """Create the mesh on first use: data-parallel over all local devices,
+        or a ("data", "model") mesh (pure TP) when param_sharding='tp'."""
         if self.mesh is None:
-            self.mesh = make_mesh()
+            if self.param_sharding == "tp":
+                from ..parallel.tp import make_tp_mesh
+
+                self.mesh = make_tp_mesh()
+            else:
+                self.mesh = make_mesh()
         return self.mesh
 
     def _put_state(self, state):
@@ -165,6 +173,10 @@ class DiffusionTrainer:
             from ..parallel.fsdp import put_fsdp
 
             return put_fsdp(state, self.mesh)
+        if self.param_sharding == "tp":
+            from ..parallel.tp import put_tp
+
+            return put_tp(state, self.mesh)
         return put_replicated(state, self.mesh)
 
     def init(self, key, sample_noisy, steps_per_epoch: int):
@@ -179,12 +191,15 @@ class DiffusionTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        if self.param_sharding == "fsdp":
-            # every leaf is born in its FSDP shard: peak HBM at init is the
+        if self.param_sharding in ("fsdp", "tp"):
+            # every leaf is born in its shard: peak HBM at init is the
             # sharded footprint, not params + f32 Adam moments replicated
-            from ..parallel.fsdp import init_fsdp_state
+            if self.param_sharding == "fsdp":
+                from ..parallel.fsdp import init_fsdp_state as init_sharded_state
+            else:
+                from ..parallel.tp import init_tp_state as init_sharded_state
 
-            state = init_fsdp_state(
+            state = init_sharded_state(
                 lambda k, x, t: TrainState.create(self.unet.init(k, x, t), self.tx),
                 self.mesh, key, sample_noisy, jnp.zeros((n,)),
             )
@@ -389,10 +404,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="rematerialize dense blocks in backward (fits larger "
                         "batches in HBM)")
     p.add_argument("--param-sharding", type=str, default="replicated",
-                   choices=["replicated", "fsdp"],
+                   choices=["replicated", "fsdp", "tp"],
                    help="fsdp shards params + Adam moments over the data mesh "
                         "axis (ZeRO; parallel/fsdp.py) — frees replicated-state "
-                        "HBM on slices/pods")
+                        "HBM on slices/pods; tp shards each layer's channels "
+                        "over a 'model' axis (parallel/tp.py) — compute "
+                        "parallelism for batches too small to shard over data")
     return p
 
 

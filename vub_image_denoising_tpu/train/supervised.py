@@ -128,15 +128,23 @@ class SupervisedTrainer:
     # Ignored when apply_fn is given.
     engine: str = "flax"
     remat: bool = False  # rematerialize dense blocks in backward (engine != 'flax')
-    # 'replicated' (params on every device) or 'fsdp' (params + Adam moments
+    # 'replicated' (params on every device), 'fsdp' (params + Adam moments
     # sharded over the data axis, ZeRO-style; parallel/fsdp.py — XLA inserts the
-    # per-layer all-gathers and grad reduce-scatters)
+    # per-layer all-gathers and grad reduce-scatters), or 'tp' (channel tensor
+    # parallelism over a 'model' axis; parallel/tp.py — splits each layer's
+    # compute, for batches too small to shard over data)
     param_sharding: str = "replicated"
 
     def ensure_mesh(self):
-        """Create the data-parallel mesh on first use (all local devices)."""
+        """Create the mesh on first use: data-parallel over all local devices,
+        or a ("data", "model") mesh (pure TP) when param_sharding='tp'."""
         if self.mesh is None:
-            self.mesh = make_mesh()
+            if self.param_sharding == "tp":
+                from ..parallel.tp import make_tp_mesh
+
+                self.mesh = make_tp_mesh()
+            else:
+                self.mesh = make_mesh()
         return self.mesh
 
     def _put_state(self, state):
@@ -144,6 +152,10 @@ class SupervisedTrainer:
             from ..parallel.fsdp import put_fsdp
 
             return put_fsdp(state, self.mesh)
+        if self.param_sharding == "tp":
+            from ..parallel.tp import put_tp
+
+            return put_tp(state, self.mesh)
         return put_replicated(state, self.mesh)
 
     def init(self, key, sample_noisy, steps_per_epoch: int):
@@ -157,12 +169,15 @@ class SupervisedTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        if self.param_sharding == "fsdp":
-            # every leaf is born in its FSDP shard: peak HBM at init is the
+        if self.param_sharding in ("fsdp", "tp"):
+            # every leaf is born in its shard: peak HBM at init is the
             # sharded footprint, not params + f32 Adam moments replicated
-            from ..parallel.fsdp import init_fsdp_state
+            if self.param_sharding == "fsdp":
+                from ..parallel.fsdp import init_fsdp_state as init_sharded_state
+            else:
+                from ..parallel.tp import init_tp_state as init_sharded_state
 
-            state = init_fsdp_state(
+            state = init_sharded_state(
                 lambda k, x: TrainState.create(self.model.init(k, x), self.tx),
                 self.mesh, key, sample_noisy,
             )
