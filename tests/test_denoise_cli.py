@@ -92,6 +92,26 @@ def test_tile_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_tensor_parallel_matches_single_device(tmp_path):
+    ck = str(tmp_path / "m.pth")
+    _save_rdunet_ckpt(ck, base_filters=8)  # channels divide the 8-way model axis
+    x = np.random.RandomState(4).rand(24, 16, 3).astype(np.float32) * 2 - 1
+    ref = np.asarray(build_denoiser(ck, arch="rdunet", base_filters=8)(x))
+    got = np.asarray(
+        build_denoiser(ck, arch="rdunet", base_filters=8, tensor_parallel=True)(x)
+    )
+    assert got.shape == x.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_tile_and_tensor_parallel_are_exclusive(tmp_path):
+    ck = str(tmp_path / "m.pth")
+    _save_rdunet_ckpt(ck)
+    with pytest.raises(ValueError):
+        build_denoiser(ck, arch="rdunet", base_filters=4,
+                       tile_parallel=True, tensor_parallel=True)
+
+
 def test_unknown_arch_raises(tmp_path):
     ck = str(tmp_path / "m.pth")
     _save_rdunet_ckpt(ck)

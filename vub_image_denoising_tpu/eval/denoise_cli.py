@@ -40,17 +40,23 @@ def _zero_params(model, *example_args):
 def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
                    timesteps: int = 20, channels: int = 3, bf16: bool = False,
                    engine: str = "auto", tile_parallel: bool = False,
-                   trusted: bool = False):
+                   tensor_parallel: bool = False, trusted: bool = False):
     """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
 
     arch 'rdunet'   — supervised denoiser (UNet/RDUNet_model.py layout).
     arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed dicts,
                       diffusion_RDUnet.py layout).
+    ``tile_parallel`` shards image ROWS over the mesh (large images);
+    ``tensor_parallel`` shards layer CHANNELS over a 'model' mesh axis
+    (parallel/tp.py) — multi-chip latency for images too small to tile.
     ``trusted=True`` permits the full-unpickling torch.load fallback for files
     that fail the safe weights-only path (e.g. trainer checkpoints written
     before the safe opt-state format, whose 'optax_state' pickles optax
     namedtuples).
     """
+    if tile_parallel and tensor_parallel:
+        raise ValueError("--tile-parallel and --tensor-parallel are exclusive: "
+                         "rows OR channels shard over the devices, not both")
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if not bf16:
         from .. import enable_strict_precision
@@ -109,6 +115,15 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
 
         return denoise
 
+    place = None
+    if tensor_parallel:
+        from ..parallel.mesh import replicate
+        from ..parallel.tp import make_tp_mesh, put_tp
+
+        mesh = make_tp_mesh()
+        params = put_tp(params, mesh)  # kernels channel-sharded over 'model'
+        place = replicate(mesh)  # input replicated; GSPMD shards the compute
+
     jit_forward = jax.jit(forward)
 
     def denoise(image):
@@ -117,6 +132,8 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
         x = jnp.asarray(
             np.pad(image, ((0, hp - h), (0, wp - w), (0, 0)), mode="reflect")
         )[None]
+        if place is not None:
+            x = jax.device_put(x, place)
         return jit_forward(params, x)[0, :h, :w]
 
     return denoise
@@ -155,6 +172,9 @@ def main(argv=None):
                    choices=["auto", "flax", "xla", "pallas"])
     p.add_argument("--tile-parallel", action="store_true",
                    help="shard image rows across all visible devices")
+    p.add_argument("--tensor-parallel", action="store_true",
+                   help="shard layer channels across all visible devices "
+                        "(multi-chip latency for images too small to tile)")
     p.add_argument("--trusted-checkpoint", action="store_true",
                    help="permit the full-unpickling torch.load fallback when the "
                         "safe weights-only load fails (trusted files only)")
@@ -164,7 +184,8 @@ def main(argv=None):
     denoise_fn = build_denoiser(
         args.checkpoint, args.arch, args.base_filters, args.timesteps,
         channels=channels, bf16=args.bf16, engine=args.engine,
-        tile_parallel=args.tile_parallel, trusted=args.trusted_checkpoint,
+        tile_parallel=args.tile_parallel, tensor_parallel=args.tensor_parallel,
+        trusted=args.trusted_checkpoint,
     )
 
     if os.path.isdir(args.input):
