@@ -55,6 +55,30 @@ def test_tp_forward_matches_single_device():
     )
 
 
+def test_tp_diffusion_sampler_matches_single_device():
+    """The T-step improved sampler (a jitted lax.scan over 2N-batched RDUNet_T
+    forwards) must run unchanged with channel-sharded params — covers the time
+    embedding's dense layers under TP and the denoise CLI's
+    ``--arch diffusion --tensor-parallel`` path."""
+    from vub_image_denoising_tpu.diffusion import InterpolationDiffusion
+    from vub_image_denoising_tpu.models import RDUNetT
+
+    unet = RDUNetT(base_filters=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = unet.init(jax.random.PRNGKey(1), x, jnp.zeros((2,)))
+    diff = InterpolationDiffusion(timesteps=4)
+    sample = lambda p, n: diff.improved_sampling(unet.apply, p, n)
+    y_ref = jax.jit(sample)(params, x)
+
+    mesh = make_tp_mesh()
+    tp_params = put_tp(params, mesh)
+    assert sharded_fraction(tp_params) > 0.9
+    y_tp = jax.jit(sample)(tp_params, jax.device_put(x, replicate(mesh)))
+    np.testing.assert_allclose(
+        np.asarray(y_tp), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_tp_train_step_matches_replicated():
     """param_sharding='tp' on the supervised trainer: the jitted step runs with
     XLA-inserted model-axis collectives, the state stays channel-sharded across
