@@ -167,9 +167,11 @@ def main():
     assert np.isfinite(fsdp_loss)
     assert sharded_fraction(state.params) > 0.5, "state lost its FSDP sharding"
 
-    # checkpoint FROM the cross-process FSDP state: the gathers are collectives
-    # (host_replicated_copy), only process 0 writes; then every process resumes
-    # the .pth into a replicated trainer and must see identical params
+    # checkpoint FROM the cross-process FSDP state: the .pth gathers are
+    # collectives (host_replicated_copy, process 0 writes) and the orbax
+    # sidecar saves SHARD-NATIVE (each process writes only its shards); then
+    # every process resumes into a replicated trainer (orbax reshards on
+    # restore) and must see identical params
     import shutil
 
     from jax.experimental import multihost_utils

@@ -209,6 +209,38 @@ def test_fsdp_checkpoint_roundtrips_into_replicated_trainer(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fsdp_sidecar_restores_born_sharded(tmp_path):
+    """The orbax sidecar is saved SHARD-NATIVE (no host gather) and an FSDP
+    trainer resumes it born-sharded: restored leaves carry the FSDP sharding
+    directly — the replicated full state is never materialized (the restore
+    analog of init_fsdp_state's born-sharded init)."""
+    from vub_image_denoising_tpu.parallel import sharded_fraction
+
+    model = RDUNet(channels=3, base_filters=8)
+    fsdp = SupervisedTrainer(
+        model, lr=1e-3, accumulation_steps=1, mesh=make_mesh(),
+        param_sharding="fsdp", checkpoint_every=1, checkpoint_dir=str(tmp_path),
+    )
+    state = fsdp.init(jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)),
+                      steps_per_epoch=1)
+    path = fsdp.maybe_checkpoint(state, epoch=0)
+
+    fsdp2 = SupervisedTrainer(
+        model, lr=1e-3, accumulation_steps=1, mesh=make_mesh(),
+        param_sharding="fsdp",
+    )
+    s2 = fsdp2.init(jax.random.PRNGKey(7), jnp.zeros((8, 16, 16, 3)),
+                    steps_per_epoch=1)
+    s2, epoch = fsdp2.load_checkpoint(s2, path)
+    assert epoch == 1
+    assert sharded_fraction(s2.params) > 0.5, "restore lost the FSDP sharding"
+    for a, b in zip(
+        jax.tree_util.tree_leaves((state.params, state.opt_state)),
+        jax.tree_util.tree_leaves((s2.params, s2.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_spatial_sharded_train_step_matches_batch_sharded():
     """Spatially-partitioned input (H split over the mesh, shard_spatial) must
     produce the same loss/params as the pure-DP batch sharding: XLA inserts the

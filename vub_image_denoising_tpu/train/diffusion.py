@@ -289,8 +289,9 @@ class DiffusionTrainer:
             },
         )
         # native orbax sidecar: the full train state (params + optax state + step),
-        # atomic and layout-exact, for resume without the torch interop round-trip
-        ckpt_io.save_orbax(path + ".orbax", ckpt_io.host_replicated_copy(state))
+        # atomic and layout-exact, for resume without the torch interop round-trip;
+        # saved shard-native (no gather — each process writes only its shards)
+        ckpt_io.save_orbax(path + ".orbax", state)
         return path
 
     def load_checkpoint(self, state, checkpoint_path: Optional[str]):
@@ -304,7 +305,9 @@ class DiffusionTrainer:
             # exact resume from the native sidecar (full state, no torch round-trip)
             import torch
 
-            restored = ckpt_io.restore_orbax(sidecar, ckpt_io.host_replicated_copy(state))
+            # the inited state is the template: leaves restore BORN into its
+            # shardings (FSDP restores never materialize the replicated state)
+            restored = ckpt_io.restore_orbax(sidecar, state)
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             state = self._put_state(restored)

@@ -239,8 +239,9 @@ class SupervisedTrainer:
                 extra={"epoch": epoch + 1, "optimizer_state_dict": {},
                        "optax_leaves": ckpt_io.optax_state_to_safe(state.opt_state)},
             )
-            # native orbax sidecar: full train state for exact resume
-            ckpt_io.save_orbax(path + ".orbax", ckpt_io.host_replicated_copy(state))
+            # native orbax sidecar: full train state for exact resume, saved
+            # shard-native (no gather — each process writes only its shards)
+            ckpt_io.save_orbax(path + ".orbax", state)
             return path
         return None
 
@@ -253,7 +254,9 @@ class SupervisedTrainer:
         if os.path.isdir(sidecar):
             import torch
 
-            restored = ckpt_io.restore_orbax(sidecar, ckpt_io.host_replicated_copy(state))
+            # the inited state is the template: leaves restore BORN into its
+            # shardings (FSDP restores never materialize the replicated state)
+            restored = ckpt_io.restore_orbax(sidecar, state)
             payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
             epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
             return self._put_state(restored), epoch

@@ -326,10 +326,12 @@ def load_pth(
 def save_orbax(path: str, state: Any):
     """Atomically save a full train-state pytree with orbax.
 
-    Callers on multi-process meshes pass a host-gathered state
-    (``host_replicated_copy``).  Orbax is itself multihost-aware (internal
-    ``sync_global_devices`` barriers; the primary host writes), so EVERY
-    process must make this call — do not gate it on process 0."""
+    Sharded states (FSDP/TP) save SHARD-NATIVE: pass the sharded arrays
+    directly — orbax writes each process's addressable shards without ever
+    gathering the replicated full state (the save analog of born-sharded
+    init).  Orbax is multihost-aware (internal ``sync_global_devices``
+    barriers), so EVERY process must make this call — do not gate it on
+    process 0."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -339,7 +341,13 @@ def save_orbax(path: str, state: Any):
 
 
 def restore_orbax(path: str, template: Any):
-    """Restore a pytree saved by save_orbax, using ``template`` for structure."""
+    """Restore a pytree saved by save_orbax, using ``template`` for structure.
+
+    Template leaves that are sharded ``jax.Array``s (or ShapeDtypeStructs
+    carrying a sharding) are restored BORN-SHARDED into those exact shards —
+    the replicated full state is never materialized, and a checkpoint written
+    under one topology restores under another (8-way FSDP → single device and
+    back; orbax reshards from the stored logical array)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
