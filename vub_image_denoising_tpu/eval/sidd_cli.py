@@ -35,7 +35,8 @@ BENCHMARK_URL = (
 
 def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 20,
                  bf16: bool = False, fused: bool = False, engine: str = "auto",
-                 trusted: bool = False):
+                 trusted: bool = False, pipeline_parallel: bool = False,
+                 pipeline_microbatch: int = 0):
     """Build the jitted improved-sampling function from a .pth diffusion checkpoint.
 
     ``engine``: 'flax' (reference-exact conv order — the strict-f32 parity path),
@@ -44,7 +45,10 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
     f32).  ``fused=True`` is back-compat for engine='pallas'.  ``trusted=True``
     allows the full-unpickling torch.load fallback for checkpoints that fail
     the safe weights-only path (pre-r3 files from this framework) — only for
-    files the user supplied themselves."""
+    files the user supplied themselves.  ``pipeline_parallel=True`` chunks the
+    T sampler steps over a ("stage",) mesh (parallel/pipeline.py — GPipe over
+    the block stream): depth = the largest divisor of ``timesteps`` ≤ the
+    device count, microbatch = ``pipeline_microbatch`` (0 → 2 blocks)."""
     unet = RDUNetT(base_filters=base_filters)
     dummy = jnp.zeros((1, 64, 64, 3))
     params = jax.eval_shape(unet.init, jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))
@@ -69,6 +73,26 @@ def load_sampler(checkpoint_path: str, base_filters: int = 32, timesteps: int = 
 
         apply_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t, engine=engine)
 
+    if pipeline_parallel:
+        from ..parallel.pipeline import (
+            best_pipeline_depth,
+            make_pp_mesh,
+            pipeline_sample_fn,
+        )
+
+        depth = best_pipeline_depth(timesteps)
+        mesh = make_pp_mesh(jax.devices()[:depth])
+        inner = pipeline_sample_fn(
+            diffusion, apply_fn, mesh, microbatch=pipeline_microbatch or 2
+        )
+        print(f"pipeline-parallel sampling: {depth} stages x "
+              f"{timesteps // depth} steps")
+
+        def sampler(noisy):
+            return inner(params, noisy.astype(dtype)).astype(jnp.float32)
+
+        return sampler
+
     @jax.jit
     def sampler(noisy):
         out = diffusion.improved_sampling(apply_fn, params, noisy.astype(dtype))
@@ -82,7 +106,9 @@ def main_validate(args):
     sampler = load_sampler(args.checkpoint, args.base_filters, args.timesteps,
                            args.bf16, getattr(args, "fused", False),
                            getattr(args, "engine", "auto"),
-                           trusted=getattr(args, "trusted_checkpoint", False))
+                           trusted=getattr(args, "trusted_checkpoint", False),
+                           pipeline_parallel=getattr(args, "pipeline_parallel", False),
+                           pipeline_microbatch=getattr(args, "pipeline_microbatch", 0))
     results = evaluate_sidd(
         sampler, blocks, evaluation_percentage=args.evaluation_percentage,
         batch_size=args.batch_size, seed=args.seed, csv_path=args.csv,
@@ -135,6 +161,11 @@ def main(argv=None):
                    help="allow the full-unpickling torch.load fallback for a "
                         "checkpoint that fails the safe weights-only load "
                         "(trusted files only)")
+    v.add_argument("--pipeline-parallel", action="store_true",
+                   help="chunk the T sampler steps over a multi-device 'stage' "
+                        "mesh and stream blocks through (parallel/pipeline.py)")
+    v.add_argument("--pipeline-microbatch", type=int, default=0,
+                   help="blocks per in-flight pipeline microbatch (0 -> 2)")
 
     b = sub.add_parser("benchmark")
     b.add_argument("--checkpoint", required=True)

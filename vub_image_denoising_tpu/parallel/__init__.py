@@ -12,3 +12,4 @@ from .mesh import (
     shard_spatial,
 )
 from .tiles import denoise_large_image
+from .pipeline import make_pp_mesh, pipeline_sample_fn, pipelined_sampling
