@@ -85,3 +85,109 @@ def test_serve_rejects_garbage_and_unknown_paths(tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+def _start_batching_server(tmp_path, max_batch=4, max_wait_ms=200.0):
+    from vub_image_denoising_tpu.eval.serve import BatchingDenoiseService
+
+    ck = str(tmp_path / "m.pth")
+    model = RDUNet(channels=3, base_filters=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    ckpt_io.save_pth(ck, params, epoch=1)
+    single_fn = build_denoiser(ck, arch="rdunet", base_filters=4)
+    batch_fn = build_denoiser(ck, arch="rdunet", base_filters=4, batched=True)
+    service = BatchingDenoiseService(batch_fn, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms)
+    server = make_server(service, {"arch": "rdunet"}, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    return server, service, f"http://127.0.0.1:{port}", single_fn
+
+
+def test_serve_dynamic_batching_coalesces_and_matches_single(tmp_path):
+    """Concurrent same-shape requests coalesce into fewer device dispatches,
+    and every response equals the single-request denoiser bit-for-bit."""
+    from PIL import Image
+
+    server, service, base, single_fn = _start_batching_server(tmp_path)
+    try:
+        rng = np.random.RandomState(1)
+        arrs = [rng.randint(0, 256, (24, 24, 3), np.uint8) for _ in range(6)]
+        bufs = []
+        for a in arrs:
+            b = io.BytesIO()
+            Image.fromarray(a).save(b, format="PNG")
+            bufs.append(b.getvalue())
+
+        # warmup (compiles the batch-1 bucket) so the burst below coalesces
+        req = urllib.request.Request(f"{base}/denoise", data=bufs[0],
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            r.read()
+
+        results = [None] * len(arrs)
+
+        def fire(i):
+            rq = urllib.request.Request(f"{base}/denoise", data=bufs[i],
+                                        method="POST")
+            with urllib.request.urlopen(rq, timeout=300) as r:
+                results[i] = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(arrs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for a, out in zip(arrs, results):
+            x = a.astype(np.float32) / 255.0 * 2.0 - 1.0
+            y = np.asarray(single_fn(x))
+            want = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(out, want)
+
+        # 6 concurrent requests (after warmup) must NOT take 6 dispatches
+        assert service.stats["requests"] == 7
+        assert service.stats["batches"] < 7, (
+            f"no coalescing happened: {service.stats}"
+        )
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["batching"]["requests"] == 7
+    finally:
+        server.shutdown()
+        service.close()
+
+
+def test_batching_service_propagates_errors(tmp_path):
+    """A failing batch fn must surface as HTTP 400 on every coalesced request,
+    not hang the waiters."""
+    import urllib.error
+
+    from vub_image_denoising_tpu.eval.serve import BatchingDenoiseService
+
+    def bad_fn(xs):
+        raise RuntimeError("boom")
+
+    service = BatchingDenoiseService(bad_fn, max_batch=4, max_wait_ms=1.0)
+    server = make_server(service, {"arch": "rdunet"}, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        from PIL import Image
+
+        b = io.BytesIO()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(b, format="PNG")
+        req = urllib.request.Request(f"{base}/denoise", data=b.getvalue(),
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"boom" in e.read()
+    finally:
+        server.shutdown()
+        service.close()

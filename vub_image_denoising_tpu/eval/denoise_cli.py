@@ -40,8 +40,14 @@ def _zero_params(model, *example_args):
 def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
                    timesteps: int = 20, channels: int = 3, bf16: bool = False,
                    engine: str = "auto", tile_parallel: bool = False,
-                   tensor_parallel: bool = False, trusted: bool = False):
+                   tensor_parallel: bool = False, trusted: bool = False,
+                   batched: bool = False):
     """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
+
+    With ``batched=True`` the returned fn maps a stacked same-size batch
+    ``(N,H,W,C) -> (N,H,W,C)`` in one device dispatch instead — the server's
+    dynamic-batching path (eval/serve.py).  Incompatible with ``tile_parallel``
+    (rows of ONE image shard over the mesh there).
 
     arch 'rdunet'   — supervised denoiser (UNet/RDUNet_model.py layout).
     arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed dicts,
@@ -57,6 +63,9 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
     if tile_parallel and tensor_parallel:
         raise ValueError("--tile-parallel and --tensor-parallel are exclusive: "
                          "rows OR channels shard over the devices, not both")
+    if batched and tile_parallel:
+        raise ValueError("batched denoising is incompatible with tile_parallel "
+                         "(which shards the rows of ONE image over the mesh)")
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if not bf16:
         from .. import enable_strict_precision
@@ -125,6 +134,21 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
         place = replicate(mesh)  # input replicated; GSPMD shards the compute
 
     jit_forward = jax.jit(forward)
+
+    if batched:
+
+        def denoise_batch(images):
+            n, h, w, _ = images.shape
+            hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+            x = jnp.asarray(
+                np.pad(images, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                       mode="reflect")
+            )
+            if place is not None:
+                x = jax.device_put(x, place)
+            return jit_forward(params, x)[:, :h, :w]
+
+        return denoise_batch
 
     def denoise(image):
         h, w, _ = image.shape

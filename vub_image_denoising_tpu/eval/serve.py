@@ -19,6 +19,10 @@ TPU-shaped serving decisions:
   a time anyway, and serialization keeps HBM bounded at one batch.  Scale-out
   is N processes x N chips behind any TCP load balancer, or --tensor-parallel
   to cut per-request latency across the chips of a slice.
+- Dynamic batching (default --max-batch 8): concurrent same-shape requests
+  coalesce into one dispatch (BatchingDenoiseService) — per-request dispatch
+  leaves the MXU mostly idle below batch ~128, so coalescing is the biggest
+  serving-throughput lever.  --max-batch 1 restores request-at-a-time.
 
 Usage:
   python -m vub_image_denoising_tpu.eval.serve --checkpoint ck.pth \
@@ -30,6 +34,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -66,6 +71,135 @@ class DenoiseService:
         return buf.getvalue()
 
 
+class _Pending:
+    """One in-flight request in the batching queue."""
+
+    __slots__ = ("x", "out", "err", "done")
+
+    def __init__(self, x):
+        self.x = x
+        self.out = None
+        self.err = None
+        self.done = threading.Event()
+
+
+class BatchingDenoiseService(DenoiseService):
+    """Dynamic request batching: concurrent same-shape requests coalesce into
+    ONE device dispatch.
+
+    RDUNet throughput on this chip saturates only near batch 128 (BASELINE.md),
+    so per-request dispatch leaves most of the MXU idle under concurrent load —
+    batching is the single biggest serving-throughput lever.  Requests enqueue
+    per input shape; a single dispatcher thread lingers ``max_wait_ms`` for a
+    burst to land, pops up to ``max_batch`` same-shape requests, rounds the
+    batch dim up to a power of two (bounds the per-shape XLA compile count at
+    log2(max_batch)+1 executables; pad rows are edge-repeats, sliced off), and
+    runs them as one forward.  Mixed-shape traffic still works — each shape is
+    its own queue and the largest queue dispatches first.
+
+    ``denoise_fn`` here is the BATCHED denoiser: (N,H,W,C) -> (N,H,W,C)
+    (``build_denoiser(..., batched=True)``).
+    """
+
+    def __init__(self, batch_denoise_fn, grayscale: bool = False,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        super().__init__(batch_denoise_fn, grayscale=grayscale)
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self._cv = threading.Condition()
+        self._queues = {}  # shape tuple -> list[_Pending]
+        self._closed = False
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._dispatcher = threading.Thread(target=self._loop, daemon=True)
+        self._dispatcher.start()
+
+    # -- request side -----------------------------------------------------
+    def _denoise_array(self, x: np.ndarray) -> np.ndarray:
+        p = _Pending(x)
+        with self._cv:
+            self.stats["requests"] += 1
+            self.shapes_seen.add(tuple(x.shape))
+            self._queues.setdefault(x.shape, []).append(p)
+            self._cv.notify()
+        p.done.wait()
+        if p.err is not None:
+            raise p.err
+        return p.out
+
+    def denoise_bytes(self, payload: bytes) -> bytes:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        img = img.convert("L") if self.grayscale else img.convert("RGB")
+        arr = np.asarray(img, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
+        y = self._denoise_array(x)
+        out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
+            buf, format="PNG"
+        )
+        return buf.getvalue()
+
+    # -- dispatcher side ---------------------------------------------------
+    def _collect(self):
+        """Block until work exists, linger for a burst, pop one shape's batch."""
+        with self._cv:
+            while not self._closed and not any(self._queues.values()):
+                self._cv.wait()
+            if self._closed:
+                return None
+        if self.max_wait_ms > 0:
+            time.sleep(self.max_wait_ms / 1000.0)  # let the burst land
+        with self._cv:
+            live = {s: q for s, q in self._queues.items() if q}
+            if not live:
+                return None
+            shape = max(live, key=lambda s: len(live[s]))
+            q = self._queues[shape]
+            batch, self._queues[shape] = q[: self.max_batch], q[self.max_batch:]
+            return batch
+
+    def _run_batch(self, batch):
+        n = len(batch)
+        # round up to a power of two so each shape compiles O(log max_batch)
+        # executables, repeating the last image into the pad rows
+        nb = 1
+        while nb < n:
+            nb *= 2
+        xs = np.stack([p.x for p in batch] + [batch[-1].x] * (nb - n))
+        try:
+            ys = np.asarray(self.denoise_fn(xs))
+            for i, p in enumerate(batch):
+                p.out = ys[i]
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for p in batch:
+                p.err = e
+        finally:
+            with self._cv:
+                self.stats["batches"] += 1
+                if n > 1:
+                    self.stats["batched_requests"] += n
+            for p in batch:
+                p.done.set()
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                if self._closed:
+                    return
+                continue
+            self._run_batch(batch)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+
 def make_handler(service: DenoiseService, info: dict):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -84,6 +218,8 @@ def make_handler(service: DenoiseService, info: dict):
                 payload["shapes_compiled"] = sorted(
                     map(list, service.shapes_seen)
                 )
+                if hasattr(service, "stats"):
+                    payload["batching"] = dict(service.stats)
                 self._send(200, json.dumps(payload).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -132,23 +268,37 @@ def main(argv=None):
                    help="shard layer channels over all visible devices "
                         "(parallel/tp.py) to cut per-request latency")
     p.add_argument("--trusted-checkpoint", action="store_true")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic batching: coalesce up to N concurrent "
+                        "same-shape requests into one dispatch (1 disables)")
+    p.add_argument("--batch-wait-ms", type=float, default=5.0,
+                   help="linger this long for a request burst before dispatch")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
     args = p.parse_args(argv)
 
     channels = 1 if args.grayscale else 3
+    batching = args.max_batch > 1
     denoise_fn = build_denoiser(
         args.checkpoint, args.arch, args.base_filters, args.timesteps,
         channels=channels, bf16=args.bf16, engine=args.engine,
         tensor_parallel=args.tensor_parallel, trusted=args.trusted_checkpoint,
+        batched=batching,
     )
-    service = DenoiseService(denoise_fn, grayscale=args.grayscale)
+    if batching:
+        service = BatchingDenoiseService(
+            denoise_fn, grayscale=args.grayscale,
+            max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms,
+        )
+    else:
+        service = DenoiseService(denoise_fn, grayscale=args.grayscale)
     info = {
         "arch": args.arch,
         "base_filters": args.base_filters,
         "engine": args.engine,
         "bf16": args.bf16,
         "tensor_parallel": args.tensor_parallel,
+        "max_batch": args.max_batch if batching else 1,
         "devices": [str(d) for d in jax.devices()],
     }
     server = make_server(service, info, args.host, args.port)
