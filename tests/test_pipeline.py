@@ -95,3 +95,21 @@ def test_pipeline_rejects_indivisible_timesteps():
     mesh = make_pp_mesh(jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         pipelined_sampling(diff, unet.apply, params, noisy, mesh, microbatch=2)
+
+
+def test_pipeline_composes_with_data_parallel():
+    """("stage": 4, "data": 2) mesh: each in-flight microbatch's samples shard
+    over "data"; ppermute streams shards stage-to-stage without gathering.
+    Output must still equal the sequential sampler."""
+    from vub_image_denoising_tpu.parallel.pipeline import make_ppdp_mesh
+
+    unet, diff, params, noisy, y_ref = _setup(batch=6, timesteps=8)
+    mesh = make_ppdp_mesh(4, jax.devices()[:8])
+    y_pp = pipelined_sampling(
+        diff, unet.apply, params, noisy, mesh, microbatch=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pp), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+    with pytest.raises(ValueError, match="data axis"):
+        pipelined_sampling(diff, unet.apply, params, noisy, mesh, microbatch=3)

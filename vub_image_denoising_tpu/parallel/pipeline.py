@@ -55,6 +55,19 @@ def make_pp_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("stage",))
 
 
+def make_ppdp_mesh(n_stages: int, devices=None) -> Mesh:
+    """A ("stage", "data") mesh: ``n_stages``-deep pipeline, each stage
+    data-parallel over the remaining devices (microbatch samples shard over
+    "data" inside every stage — `pipelined_sampling` detects the axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_stages:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by n_stages={n_stages}"
+        )
+    arr = np.asarray(devices).reshape(n_stages, len(devices) // n_stages)
+    return Mesh(arr, ("stage", "data"))
+
+
 def best_pipeline_depth(timesteps: int, n_devices: Optional[int] = None) -> int:
     """Largest pipeline depth ≤ ``n_devices`` that divides ``timesteps``.
 
@@ -89,7 +102,9 @@ def pipelined_sampling(
         microbatches; a short tail microbatch is zero-padded in and sliced off.
       mesh: mesh whose ``axis`` dimension is the pipeline depth S.
         ``diffusion.timesteps`` must be divisible by S (each stage owns T/S
-        steps).
+        steps).  A 2-D ("stage", "data") mesh (make_ppdp_mesh) additionally
+        shards every microbatch's samples over "data" (microbatch must divide
+        by the data-axis size).
       microbatch: images per in-flight microbatch (the per-stage U-Net batch
         is 2·microbatch — the two-timestep stack).
 
@@ -104,6 +119,19 @@ def pipelined_sampling(
             f"timesteps={timesteps} not divisible by {n_stages} pipeline stages"
         )
     steps_per_stage = timesteps // n_stages
+
+    # pp x dp composition: on a ("stage", "data") mesh each in-flight
+    # microbatch's samples shard over "data" — ppermute pairs devices with the
+    # same data-index across adjacent stages, so shards stream without ever
+    # gathering (make_ppdp_mesh)
+    data_axis = None
+    if "data" in mesh.axis_names and int(mesh.shape["data"]) > 1:
+        data_axis = "data"
+        if microbatch % int(mesh.shape["data"]):
+            raise ValueError(
+                f"microbatch={microbatch} not divisible by the "
+                f"{int(mesh.shape['data'])}-way data axis"
+            )
 
     batch = noisy.shape[0]
     if microbatch <= 0:
@@ -127,6 +155,8 @@ def pipelined_sampling(
             ts_all, (s_idx * steps_per_stage,), (steps_per_stage,)
         )
 
+        lm = xs.shape[1]  # local microbatch size (microbatch / data-axis size)
+
         def sampler_chunk(x_t0, anchor32):
             # identical body to improved_sampling's scan step, anchored at the
             # microbatch's own starting image (which travels with it)
@@ -135,13 +165,10 @@ def pipelined_sampling(
                 alpha_prev = (t - 1) / timesteps
                 x2 = jnp.concatenate([x_t, x_t], axis=0).astype(in_dtype)
                 t2 = jnp.concatenate(
-                    [
-                        jnp.full((microbatch,), alpha_t),
-                        jnp.full((microbatch,), alpha_prev),
-                    ]
+                    [jnp.full((lm,), alpha_t), jnp.full((lm,), alpha_prev)]
                 ).astype(in_dtype)
                 pred2 = unet_apply(params, x2, t2).astype(jnp.float32)
-                pred_t, pred_prev = pred2[:microbatch], pred2[microbatch:]
+                pred_t, pred_prev = pred2[:lm], pred2[lm:]
                 x_tilde = (1 - alpha_t) * pred_t + alpha_t * anchor32
                 x_tilde_prev = (1 - alpha_prev) * pred_prev + alpha_prev * anchor32
                 return x_t - x_tilde + x_tilde_prev, None
@@ -149,7 +176,7 @@ def pipelined_sampling(
             x_out, _ = jax.lax.scan(step, x_t0, my_ts, unroll=unroll)
             return x_out
 
-        mb_shape = (microbatch,) + xs.shape[2:]
+        mb_shape = (lm,) + xs.shape[2:]
         perm = [(i, i + 1) for i in range(n_stages - 1)]
 
         def tick(carry, t):
@@ -198,8 +225,8 @@ def pipelined_sampling(
     stacked = jax.shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(axis),
+        in_specs=(P(), P(None, data_axis)),
+        out_specs=P(axis, None, data_axis),
         check_vma=False,
     )(params, xs)
     out = stacked[-1].reshape((n_micro * microbatch,) + noisy.shape[1:])
