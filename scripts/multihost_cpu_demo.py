@@ -196,10 +196,36 @@ def main():
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # --- pipeline-parallel sampling with stages spanning BOTH processes ----
+    # the T-step sampler chunks over a ("stage",) mesh of all global devices
+    # (4 per process); microbatches ppermute across the process boundary —
+    # the DCN analog of inter-host pipeline hand-off on a pod.
+    from vub_image_denoising_tpu.diffusion import InterpolationDiffusion
+    from vub_image_denoising_tpu.models.rdunet import RDUNetT
+    from vub_image_denoising_tpu.parallel import make_pp_mesh, pipelined_sampling
+
+    unet = RDUNetT(base_filters=4)
+    xs_small = jnp.asarray(np.asarray(x[:4, :8, :8, :], np.float32))
+    with jax.disable_jit():
+        tparams = unet.init(jax.random.PRNGKey(6), xs_small[:1], jnp.zeros((1,)))
+    diff = InterpolationDiffusion(timesteps=jax.device_count())
+    y_ref = np.asarray(
+        jax.jit(lambda p, n: diff.improved_sampling(unet.apply, p, n))(
+            tparams, xs_small
+        )
+    )  # process-local reference on this process's own devices
+    pp_mesh = make_pp_mesh()  # depth = all global devices
+    y_pp = pipelined_sampling(
+        diff, unet.apply, tparams, xs_small, pp_mesh, microbatch=2
+    )
+    y_pp_host = np.asarray(ckpt_io.host_replicated_copy(y_pp))
+    np.testing.assert_allclose(y_pp_host, y_ref, rtol=1e-5, atol=1e-5)
+
     print(
         f"proc {jax.process_index()}/{nproc}: devices {len(jax.devices())} "
         f"out {y.shape} local|y|={local_mean:.5f} global|y|={global_mean:.5f} "
-        f"sharded-fetch rows/proc {len(rows)} fsdp_loss={fsdp_loss:.6f} OK",
+        f"sharded-fetch rows/proc {len(rows)} fsdp_loss={fsdp_loss:.6f} "
+        f"pp_depth={pp_mesh.devices.size} OK",
         flush=True,
     )
 
