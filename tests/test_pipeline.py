@@ -113,3 +113,13 @@ def test_pipeline_composes_with_data_parallel():
     )
     with pytest.raises(ValueError, match="data axis"):
         pipelined_sampling(diff, unet.apply, params, noisy, mesh, microbatch=3)
+
+
+def test_best_pipeline_depth():
+    from vub_image_denoising_tpu.parallel.pipeline import best_pipeline_depth
+
+    assert best_pipeline_depth(20, 8) == 5   # reference T=20 on an 8-chip slice
+    assert best_pipeline_depth(20, 32) == 20
+    assert best_pipeline_depth(8, 8) == 8
+    assert best_pipeline_depth(7, 3) == 1    # prime T: no depth but 1 fits
+    assert best_pipeline_depth(20, 1) == 1
