@@ -191,3 +191,61 @@ def test_batching_service_propagates_errors(tmp_path):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_backpressure_rejects_with_503_and_latency_percentiles(tmp_path):
+    """max_queue=1 + a slow batch fn: a burst must see HTTP 503 with
+    Retry-After on the overflow requests; healthz reports latency
+    percentiles and the rejected count."""
+    import time as _time
+    import urllib.error
+
+    from vub_image_denoising_tpu.eval.serve import BatchingDenoiseService
+
+    def slow_fn(xs):
+        _time.sleep(0.5)
+        return xs
+
+    service = BatchingDenoiseService(slow_fn, max_batch=1, max_wait_ms=0.0,
+                                     max_queue=1)
+    server = make_server(service, {"arch": "rdunet"}, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        from PIL import Image
+
+        b = io.BytesIO()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(b, format="PNG")
+        payload = b.getvalue()
+
+        codes = [None] * 6
+
+        def fire(i):
+            rq = urllib.request.Request(f"{base}/denoise", data=payload,
+                                        method="POST")
+            try:
+                with urllib.request.urlopen(rq, timeout=120) as r:
+                    codes[i] = r.status
+            except urllib.error.HTTPError as e:
+                codes[i] = e.code
+                if e.code == 503:
+                    assert e.headers["Retry-After"] == "1"
+
+        ts = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # with a 0.5 s/batch fn, batch 1, and queue depth 1, a 6-burst cannot
+        # all be accepted — at least one 503, at least one success
+        assert 200 in codes and 503 in codes, codes
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["batching"]["rejected"] >= 1
+        lat = health["latency"]
+        assert lat["n"] >= 1 and lat["p50_ms"] >= 500  # slow fn dominates
+        assert lat["p50_ms"] <= lat["p90_ms"] <= lat["p99_ms"]
+    finally:
+        server.shutdown()
+        service.close()

@@ -42,6 +42,36 @@ import numpy as np
 from .denoise_cli import build_denoiser
 
 
+class QueueFullError(Exception):
+    """Raised when the batching queue is at capacity (mapped to HTTP 503)."""
+
+
+class _LatencyWindow:
+    """Rolling per-request wall-time window -> p50/p90/p99 for /healthz."""
+
+    def __init__(self, maxlen: int = 1000):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self._samples = deque(maxlen=maxlen)
+
+    def record(self, seconds: float):
+        with self._lock:
+            self._samples.append(seconds)
+
+    def percentiles(self):
+        with self._lock:
+            if not self._samples:
+                return {"n": 0}
+            ms = np.sort(np.asarray(self._samples)) * 1000.0
+        return {
+            "n": int(ms.size),
+            "p50_ms": round(float(np.percentile(ms, 50)), 2),
+            "p90_ms": round(float(np.percentile(ms, 90)), 2),
+            "p99_ms": round(float(np.percentile(ms, 99)), 2),
+        }
+
+
 class DenoiseService:
     """Holds the warm denoiser; thread-safe single-flight execution."""
 
@@ -50,10 +80,12 @@ class DenoiseService:
         self.grayscale = grayscale
         self._lock = threading.Lock()
         self.shapes_seen = set()
+        self.latency = _LatencyWindow()
 
     def denoise_bytes(self, payload: bytes) -> bytes:
         from PIL import Image
 
+        t0 = time.monotonic()
         img = Image.open(io.BytesIO(payload))
         img = img.convert("L") if self.grayscale else img.convert("RGB")
         arr = np.asarray(img, np.uint8)
@@ -68,6 +100,7 @@ class DenoiseService:
         Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
             buf, format="PNG"
         )
+        self.latency.record(time.monotonic() - t0)
         return buf.getvalue()
 
 
@@ -102,14 +135,17 @@ class BatchingDenoiseService(DenoiseService):
     """
 
     def __init__(self, batch_denoise_fn, grayscale: bool = False,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 max_queue: int = 256):
         super().__init__(batch_denoise_fn, grayscale=grayscale)
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
+        self.max_queue = int(max_queue)
         self._cv = threading.Condition()
         self._queues = {}  # shape tuple -> list[_Pending]
         self._closed = False
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "rejected": 0}
         self._dispatcher = threading.Thread(target=self._loop, daemon=True)
         self._dispatcher.start()
 
@@ -117,6 +153,14 @@ class BatchingDenoiseService(DenoiseService):
     def _denoise_array(self, x: np.ndarray) -> np.ndarray:
         p = _Pending(x)
         with self._cv:
+            queued = sum(len(q) for q in self._queues.values())
+            if queued >= self.max_queue:
+                # backpressure: reject instead of growing an unbounded queue
+                # (the client retries against a less-loaded replica)
+                self.stats["rejected"] += 1
+                raise QueueFullError(
+                    f"{queued} requests queued (max_queue={self.max_queue})"
+                )
             self.stats["requests"] += 1
             self.shapes_seen.add(tuple(x.shape))
             self._queues.setdefault(x.shape, []).append(p)
@@ -129,6 +173,7 @@ class BatchingDenoiseService(DenoiseService):
     def denoise_bytes(self, payload: bytes) -> bytes:
         from PIL import Image
 
+        t0 = time.monotonic()
         img = Image.open(io.BytesIO(payload))
         img = img.convert("L") if self.grayscale else img.convert("RGB")
         arr = np.asarray(img, np.uint8)
@@ -141,6 +186,7 @@ class BatchingDenoiseService(DenoiseService):
         Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
             buf, format="PNG"
         )
+        self.latency.record(time.monotonic() - t0)
         return buf.getvalue()
 
     # -- dispatcher side ---------------------------------------------------
@@ -220,6 +266,7 @@ def make_handler(service: DenoiseService, info: dict):
                 )
                 if hasattr(service, "stats"):
                     payload["batching"] = dict(service.stats)
+                payload["latency"] = service.latency.percentiles()
                 self._send(200, json.dumps(payload).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -235,6 +282,15 @@ def make_handler(service: DenoiseService, info: dict):
             payload = self.rfile.read(length)
             try:
                 out = service.denoise_bytes(payload)
+            except QueueFullError as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = f"overloaded: {e}".encode()
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # undecodable image, OOM-sized input, ...
                 self._send(400, f"denoise failed: {e}".encode(), "text/plain")
                 return
@@ -273,6 +329,8 @@ def main(argv=None):
                         "same-shape requests into one dispatch (1 disables)")
     p.add_argument("--batch-wait-ms", type=float, default=5.0,
                    help="linger this long for a request burst before dispatch")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="reject (HTTP 503) when this many requests are queued")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
     args = p.parse_args(argv)
@@ -289,6 +347,7 @@ def main(argv=None):
         service = BatchingDenoiseService(
             denoise_fn, grayscale=args.grayscale,
             max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms,
+            max_queue=args.max_queue,
         )
     else:
         service = DenoiseService(denoise_fn, grayscale=args.grayscale)
