@@ -86,6 +86,15 @@ def main():
         "synthetic set pass e.g. total_steps//6 to get ~2 decays over the run "
         "(0 = use the real loader epoch length)",
     )
+    ap.add_argument(
+        "--device-data", action="store_true",
+        help="keep the whole uint8 image bank resident in HBM and sample "
+        "batches on device (data/resident.py) — removes the per-step "
+        "host->device transfer that bounds small-model training on this "
+        "runtime (BASELINE.md: ~0.57 s step vs ~2.3 s host-feed wall). "
+        "Different RNG stream than the host loader (not byte-identical "
+        "batches), so don't mix within one run",
+    )
     ap.add_argument("--out", default="runs/accuracy_log.jsonl")
     ap.add_argument(
         "--resume", default="",
@@ -161,10 +170,19 @@ def main():
             model, lr=args.lr, engine=args.engine, remat=True,
             compute_dtype=jnp.bfloat16, checkpoint_dir="runs/accuracy_ckpt",
         )
-    loader = PatchLoader(
-        CleanDS(), args.batch_size, shuffle=True, transform=tf,
-        sharding=trainer.batch_sharding(), seed=1,
-    )
+    if args.device_data:
+        from vub_image_denoising_tpu.data.resident import DeviceBankLoader
+
+        loader = DeviceBankLoader(
+            train_clean, args.batch_size, transform=tf,
+            steps_per_epoch=max(1, len(train_clean) // args.batch_size),
+            sharding=trainer.batch_sharding(), seed=1,
+        )
+    else:
+        loader = PatchLoader(
+            CleanDS(), args.batch_size, shuffle=True, transform=tf,
+            sharding=trainer.batch_sharding(), seed=1,
+        )
     steps_per_epoch = max(1, len(loader))
     state = trainer.init(
         jax.random.PRNGKey(0),

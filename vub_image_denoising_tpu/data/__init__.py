@@ -6,3 +6,4 @@ from .datasets import (
 )
 from .device import augment_pair, degrade_and_normalize, denormalize, normalize_pair
 from .loader import PatchLoader, load_data, load_sidd_data
+from .resident import DeviceBankLoader
