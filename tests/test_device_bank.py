@@ -116,3 +116,72 @@ def test_rejects_bad_bank_and_patch():
     with pytest.raises(ValueError, match="exceeds"):
         DeviceBankLoader(np.zeros((2, 8, 8, 3), np.uint8), batch_size=2,
                          patch=16)
+
+
+def _write_pngs(folder, sizes):
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(f"{folder}/img_{i}.png")
+
+
+def test_device_val_loader_matches_host_loader_bytes(tmp_path):
+    """Sequential device-bank validation batches must be BYTE-IDENTICAL to the
+    host PatchLoader's (same split, same key convention, same on-device
+    transform) — the strongest possible equivalence for the resident path."""
+    from vub_image_denoising_tpu.data.loader import load_data
+
+    _write_pngs(tmp_path, [(512, 256)])  # 2 patches x 3 levels = 6 logical
+    key = jax.random.PRNGKey(5)
+    _, host = load_data(str(tmp_path), batch_size=2, only_validation=True,
+                        use_rgb=True, key=key)
+    _, dev = load_data(str(tmp_path), batch_size=2, only_validation=True,
+                       use_rgb=True, key=key, device_data=True)
+    hb, db = list(host), list(dev)
+    assert len(hb) == len(db) == 3
+    for (n1, c1), (n2, c2) in zip(hb, db):
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_device_train_loader_covers_the_split(tmp_path):
+    """Permute mode must cover the train split's (patch x sigma) logical space
+    exactly once per epoch: sigma and clean-patch multisets match the host
+    split (order differs — numpy vs on-device shuffle)."""
+    from vub_image_denoising_tpu.data.loader import load_data
+
+    _write_pngs(tmp_path, [(512, 512)])  # 4 patches x 3 levels = 12 logical
+    kw = dict(batch_size=3, validation_split=0.5, use_rgb=True, seed=2,
+              include_noise_level=True)
+    th, _ = load_data(str(tmp_path), **kw)
+    td, _ = load_data(str(tmp_path), device_data=True, **kw)
+    assert len(th) == len(td) == 2  # 6 train logical / batch 3
+
+    def collect(loader):
+        sig, cleans = [], []
+        for _, clean, sigma in loader:
+            sig.extend(np.asarray(sigma, np.float32).tolist())
+            cleans.extend(np.asarray(clean).tobytes() for clean in clean)
+        return sorted(sig), sorted(cleans)
+
+    sig_h, clean_h = collect(th)
+    sig_d, clean_d = collect(td)
+    assert sig_h == sig_d
+    assert clean_h == clean_d
+
+
+def test_diffusion_cli_device_data_rejects_sidd():
+    import pytest
+
+    from vub_image_denoising_tpu.train.diffusion import (
+        build_arg_parser,
+        load_data_for,
+    )
+
+    args = build_arg_parser().parse_args(
+        ["--dataset_choice", "SIDD", "--device-data"]
+    )
+    with pytest.raises(ValueError, match="DIV2K only"):
+        load_data_for(args)

@@ -296,6 +296,18 @@ class PatchLoader:
                     yield device_queue.popleft()
 
 
+def _split_subsets(dataset, validation_split, dataset_percentage, seed):
+    """The canonical percentage + train/val split (seeded identically for the
+    host PatchLoader and the device-resident paths)."""
+    total = len(dataset)
+    subset_size = int(total * dataset_percentage)
+    if subset_size < total:
+        dataset, _ = random_split(dataset, [subset_size, total - subset_size], seed=seed)
+    train_size = int((1 - validation_split) * len(dataset))
+    val_size = len(dataset) - train_size
+    return random_split(dataset, [train_size, val_size], seed=seed + 1)
+
+
 def _split_loaders(
     dataset,
     batch_size,
@@ -308,13 +320,9 @@ def _split_loaders(
     seed,
     key,
 ):
-    total = len(dataset)
-    subset_size = int(total * dataset_percentage)
-    if subset_size < total:
-        dataset, _ = random_split(dataset, [subset_size, total - subset_size], seed=seed)
-    train_size = int((1 - validation_split) * len(dataset))
-    val_size = len(dataset) - train_size
-    train_ds, val_ds = random_split(dataset, [train_size, val_size], seed=seed + 1)
+    train_ds, val_ds = _split_subsets(
+        dataset, validation_split, dataset_percentage, seed
+    )
     if key is None:
         key = jax.random.PRNGKey(seed)
     k_train, k_val = jax.random.split(key)
@@ -350,11 +358,19 @@ def load_data(
     sharding=None,
     seed: int = 0,
     key: Optional[jax.Array] = None,
+    device_data: bool = False,
 ):
     """Synthetic Gaussian-noise loaders over an image folder.
 
     API parity with dataset_creation/data_loader.py:7-79.  Yields device batches
     (noisy, clean) in [-1,1] — or (noisy, clean, sigma) with include_noise_level.
+
+    ``device_data=True`` swaps the host PatchLoaders for device-resident
+    ``DeviceBankLoader``s (data/resident.py): the deduped uint8 patch bank is
+    uploaded once and batches are sampled/degraded/normalized on device —
+    removes the per-step host→device transfer (the measured training
+    bottleneck on this runtime).  Same splits/seeds as the host path; the
+    shuffle RNG stream differs (on-device permutation vs numpy).
     """
     from functools import partial
 
@@ -372,6 +388,13 @@ def load_data(
 
     if only_validation:
         ds = FolderPatchDataset(image_folder, noise_levels=val_noise_levels, use_rgb=use_rgb)
+        if device_data:
+            from .resident import bank_loader_from_patches
+
+            return None, bank_loader_from_patches(
+                ds, batch_size, make_transform(augment), mode="sequential",
+                sharding=sharding, key=key, seed=seed,
+            )
         loader = PatchLoader(
             ds, batch_size, shuffle=False, transform=make_transform(augment),
             key=key, sharding=sharding, num_workers=num_workers, seed=seed,
@@ -379,6 +402,22 @@ def load_data(
         return None, loader
 
     train_ds = FolderPatchDataset(image_folder, noise_levels=train_noise_levels, use_rgb=use_rgb)
+    if device_data:
+        from .resident import bank_loader_from_patches
+
+        tr, va = _split_subsets(train_ds, validation_split, dataset_percentage, seed)
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        k_train, k_val = jax.random.split(key)
+        train_loader = bank_loader_from_patches(
+            tr, batch_size, make_transform(augment), mode="permute",
+            sharding=sharding, key=k_train, seed=seed,
+        )
+        val_loader = bank_loader_from_patches(
+            va, batch_size, make_transform(False), mode="sequential",
+            sharding=sharding, key=k_val, seed=seed, drop_last=False,
+        )
+        return train_loader, val_loader
     return _split_loaders(
         train_ds, batch_size, validation_split, dataset_percentage, num_workers,
         make_transform(augment), make_transform(False), sharding, seed, key,

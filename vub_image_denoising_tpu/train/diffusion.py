@@ -413,6 +413,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "HBM on slices/pods; tp shards each layer's channels "
                         "over a 'model' axis (parallel/tp.py) — compute "
                         "parallelism for batches too small to shard over data")
+    p.add_argument("--device-data", action="store_true",
+                   help="keep the deduped uint8 patch bank resident in HBM and "
+                        "sample/degrade batches on device (data/resident.py) — "
+                        "removes the per-step host->device transfer bottleneck; "
+                        "DIV2K only")
     return p
 
 
@@ -421,6 +426,7 @@ def load_data_for(args, sharding=None):
     from ..data.loader import load_data as load_div2k_data
     from ..data.loader import load_sidd_data
 
+    device_data = getattr(args, "device_data", False)
     if args.dataset_choice == "DIV2K":
         folder = os.path.join(args.data_root, "DIV2K_train_HR.nosync")
         return load_div2k_data(
@@ -428,7 +434,11 @@ def load_data_for(args, sharding=None):
             dataset_percentage=args.dataset_percentage,
             validation_split=args.validation_split, use_rgb=True,
             num_workers=args.num_workers, sharding=sharding,
+            device_data=device_data,
         )
+    if device_data:
+        raise ValueError("--device-data currently supports DIV2K only (the "
+                         "SIDD pair bank would double the HBM footprint)")
     folder = os.path.join(args.data_root, "SIDD_dataset.nosync", "SIDD_Medium_Srgb")
     return load_sidd_data(
         folder, batch_size=args.batch_size, augment=args.augment,
