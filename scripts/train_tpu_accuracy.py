@@ -95,6 +95,17 @@ def main():
         "Different RNG stream than the host loader (not byte-identical "
         "batches), so don't mix within one run",
     )
+    ap.add_argument(
+        "--remat", choices=("true", "false"), default="true",
+        help="rematerialization in the train step. BASELINE.md guidance: "
+        "RDUNet-32 wants remat=true at batch 128; the RDUNet-128 flagship "
+        "wants remat=false at batch 8 (activations fit; remat only costs)",
+    )
+    ap.add_argument(
+        "--ckpt-dir", default="",
+        help="checkpoint directory (default runs/accuracy_ckpt[_diffusion]); "
+        "set when training variants like the flagship so runs don't clobber",
+    )
     ap.add_argument("--out", default="runs/accuracy_log.jsonl")
     ap.add_argument(
         "--resume", default="",
@@ -158,17 +169,19 @@ def main():
         def tf(key, clean_u8):
             return degrade_and_normalize(key, clean_u8, sigma)
 
+    remat = args.remat == "true"
     if args.algo == "diffusion":
         trainer = DiffusionTrainer(
             base_filters=args.base_filters, timesteps=args.timesteps, lr=args.lr,
-            engine=args.engine, remat=True, compute_dtype=jnp.bfloat16,
-            output_dir="runs/accuracy_ckpt_diffusion",
+            engine=args.engine, remat=remat, compute_dtype=jnp.bfloat16,
+            output_dir=args.ckpt_dir or "runs/accuracy_ckpt_diffusion",
         )
     else:
         model = RDUNet(channels=3, base_filters=args.base_filters)
         trainer = SupervisedTrainer(
-            model, lr=args.lr, engine=args.engine, remat=True,
-            compute_dtype=jnp.bfloat16, checkpoint_dir="runs/accuracy_ckpt",
+            model, lr=args.lr, engine=args.engine, remat=remat,
+            compute_dtype=jnp.bfloat16,
+            checkpoint_dir=args.ckpt_dir or "runs/accuracy_ckpt",
         )
     if args.device_data:
         from vub_image_denoising_tpu.data.resident import DeviceBankLoader

@@ -165,8 +165,19 @@ def test_two_process_end_to_end(tmp_path):
         )
         for i in range(2)
     ]
-    # generous: two jax subprocesses compiling on a 1-core host under full-suite load
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    # generous: two jax subprocesses compiling on a 1-core host under full-suite
+    # load (observed >20 min when a TPU training job shares the host); on timeout
+    # kill both so a flake doesn't leak CPU-hungry processes into later tests
+    try:
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        raise AssertionError(
+            "2-process demo exceeded 30 min (host overloaded?): "
+            + " | ".join(o[-500:] for o in outs if o)
+        )
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     assert any("proc 0/2" in o and "OK" in o for o in outs), outs
