@@ -76,7 +76,10 @@ def main():
     for name, fn in fns.items():
         compiled = fn.lower(params, x).compile()
         ops = entry_census(compiled)
-        total = sum(ops.values())
+        # parameters/constants/tuple plumbing are not executed kernels
+        non_kernel = ("parameter", "constant", "tuple", "get-tuple-element",
+                      "bitcast", "after-all")
+        total = sum(c for op, c in ops.items() if op not in non_kernel)
         print(f"\n{name}: {total} entry-computation ops "
               f"=> est dispatch floor {total * OVERHEAD_MS:.1f} ms/iter "
               f"at {OVERHEAD_MS} ms/op", flush=True)
