@@ -185,3 +185,19 @@ def test_diffusion_cli_device_data_rejects_sidd():
     )
     with pytest.raises(ValueError, match="DIV2K only"):
         load_data_for(args)
+
+
+def test_permute_small_split_falls_back_to_short_batch():
+    """batch_size > n_logical must match PatchLoader's short-batch policy
+    (warn + one short batch per epoch), not crash at construction."""
+    import pytest
+
+    bank = _iota_bank(n=5)
+    with pytest.warns(UserWarning, match="short batch"):
+        loader = DeviceBankLoader(bank, batch_size=16, mode="permute", seed=0)
+    assert len(loader) == 1
+    (batch,) = list(loader)
+    assert batch.shape == (5, 24, 24, 3)
+    # every bank image appears exactly once (it IS a permutation)
+    firsts = sorted(int(p[0, 0, 0]) // 48 for p in np.asarray(batch))
+    assert firsts == [0, 1, 2, 3, 4]

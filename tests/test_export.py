@@ -70,3 +70,18 @@ def test_export_cli(tmp_path):
     fn = load_exported(out)
     y = fn(jnp.zeros((3, 16, 16, 3)))
     assert y.shape == (3, 16, 16, 3)
+
+
+def test_export_diffusion_grayscale_raises_clearly(tmp_path):
+    """The shared build_apply guard (denoise_cli.py) must fire here too: a
+    clear ValueError, not an opaque conv shape error mid-trace."""
+    import pytest
+
+    unet = RDUNetT(base_filters=4)
+    ck, _ = _save_ckpt(
+        tmp_path, "d.pth", unet, jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)),
+        prefix="unet.",
+    )
+    with pytest.raises(ValueError, match="requires RGB"):
+        build_exported(ck, arch="diffusion", base_filters=4, size=16,
+                       channels=1)

@@ -161,8 +161,8 @@ def test_serve_dynamic_batching_coalesces_and_matches_single(tmp_path):
 
 
 def test_batching_service_propagates_errors(tmp_path):
-    """A failing batch fn must surface as HTTP 400 on every coalesced request,
-    not hang the waiters."""
+    """A failing batch fn must surface as HTTP 500 (an internal fault, NOT a
+    client error) on every coalesced request, not hang the waiters."""
     import urllib.error
 
     from vub_image_denoising_tpu.eval.serve import BatchingDenoiseService
@@ -184,13 +184,67 @@ def test_batching_service_propagates_errors(tmp_path):
                                      method="POST")
         try:
             urllib.request.urlopen(req, timeout=60)
-            assert False, "expected HTTP 400"
+            assert False, "expected HTTP 500"
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 500
             assert b"boom" in e.read()
     finally:
         server.shutdown()
         service.close()
+
+
+def test_close_drains_waiters_and_rejects_new_requests():
+    """close() must fail queued waiters (503-mapped QueueFullError) instead of
+    abandoning them, and reject requests enqueued afterward."""
+    import time as _time
+
+    import pytest
+
+    from vub_image_denoising_tpu.eval.serve import (
+        BatchingDenoiseService, QueueFullError,
+    )
+
+    release = threading.Event()
+
+    def slow_fn(xs):
+        release.wait(timeout=30)
+        return xs
+
+    # max_batch=1: the dispatcher picks up the first request and blocks in
+    # slow_fn; the second stays queued and must be drained by close()
+    service = BatchingDenoiseService(slow_fn, max_batch=1, max_wait_ms=0.0)
+    x = np.zeros((4, 4, 3), np.float32)
+    outcomes = {}
+
+    def fire(name):
+        try:
+            outcomes[name] = ("ok", service._denoise_array(x))
+        except Exception as e:  # noqa: BLE001
+            outcomes[name] = ("err", e)
+
+    t1 = threading.Thread(target=fire, args=("inflight",))
+    t1.start()
+    _time.sleep(0.2)  # dispatcher now blocked inside slow_fn on request 1
+    t2 = threading.Thread(target=fire, args=("queued",))
+    t2.start()
+    _time.sleep(0.2)  # request 2 sits in the queue
+
+    closer = threading.Thread(target=service.close)
+    closer.start()
+    _time.sleep(0.2)
+    release.set()  # let the in-flight batch finish so close() can join
+    for t in (t1, t2, closer):
+        t.join(timeout=30)
+        assert not t.is_alive(), "close() left a thread hanging"
+
+    kind, val = outcomes["queued"]
+    assert kind == "err" and isinstance(val, QueueFullError)
+    # the batch already on the device completes normally
+    kind, val = outcomes["inflight"]
+    assert kind == "ok" and val.shape == x.shape
+
+    with pytest.raises(QueueFullError):
+        service._denoise_array(x)  # post-close requests must not hang
 
 
 def test_backpressure_rejects_with_503_and_latency_percentiles(tmp_path):

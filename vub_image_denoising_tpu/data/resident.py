@@ -107,6 +107,19 @@ class DeviceBankLoader:
             self._steps = full + (1 if tail and not drop_last else 0)
             self._tail = 0 if drop_last else tail
         else:
+            if mode == "permute" and self.batch_size > self.n_logical:
+                # match PatchLoader's short-batch policy so flipping
+                # device_data=True on a tiny split doesn't turn a working
+                # config into a constructor crash
+                import warnings
+
+                warnings.warn(
+                    f"batch_size {self.batch_size} exceeds the "
+                    f"{self.n_logical}-item logical space; yielding one "
+                    f"short batch of {self.n_logical} per epoch",
+                    stacklevel=3,
+                )
+                self.batch_size = self.n_logical
             natural = max(1, self.n_logical // self.batch_size)
             self._steps = int(steps_per_epoch or natural)
             self._tail = 0

@@ -37,35 +37,19 @@ def _zero_params(model, *example_args):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
-                   timesteps: int = 20, channels: int = 3, bf16: bool = False,
-                   engine: str = "auto", tile_parallel: bool = False,
-                   tensor_parallel: bool = False, trusted: bool = False,
-                   batched: bool = False):
-    """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
-
-    With ``batched=True`` the returned fn maps a stacked same-size batch
-    ``(N,H,W,C) -> (N,H,W,C)`` in one device dispatch instead — the server's
-    dynamic-batching path (eval/serve.py).  Incompatible with ``tile_parallel``
-    (rows of ONE image shard over the mesh there).
+def build_apply(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
+                timesteps: int = 20, channels: int = 3, bf16: bool = False,
+                engine: str = "auto", trusted: bool = False):
+    """Shared model/checkpoint construction for every inference entry point
+    (this CLI, eval/serve.py, eval/export.py — one builder so they cannot
+    drift): returns ``(forward, params)`` where ``forward(params, batch)``
+    maps a normalized ``(N,H,W,C)`` [-1,1] float32 batch to its denoised
+    counterpart (diffusion: the full T-step improved sampler).
 
     arch 'rdunet'   — supervised denoiser (UNet/RDUNet_model.py layout).
-    arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed dicts,
-                      diffusion_RDUnet.py layout).
-    ``tile_parallel`` shards image ROWS over the mesh (large images);
-    ``tensor_parallel`` shards layer CHANNELS over a 'model' mesh axis
-    (parallel/tp.py) — multi-chip latency for images too small to tile.
-    ``trusted=True`` permits the full-unpickling torch.load fallback for files
-    that fail the safe weights-only path (e.g. trainer checkpoints written
-    before the safe opt-state format, whose 'optax_state' pickles optax
-    namedtuples).
+    arch 'diffusion'— RDUNet_T + T-step improved sampling ('unet.'-prefixed
+                      dicts, diffusion_RDUnet.py layout).
     """
-    if tile_parallel and tensor_parallel:
-        raise ValueError("--tile-parallel and --tensor-parallel are exclusive: "
-                         "rows OR channels shard over the devices, not both")
-    if batched and tile_parallel:
-        raise ValueError("batched denoising is incompatible with tile_parallel "
-                         "(which shards the rows of ONE image over the mesh)")
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if not bf16:
         from .. import enable_strict_precision
@@ -112,6 +96,40 @@ def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32
 
     else:
         raise ValueError(f"unknown arch '{arch}' (expected rdunet|diffusion)")
+
+    return forward, params
+
+
+def build_denoiser(checkpoint: str, arch: str = "rdunet", base_filters: int = 32,
+                   timesteps: int = 20, channels: int = 3, bf16: bool = False,
+                   engine: str = "auto", tile_parallel: bool = False,
+                   tensor_parallel: bool = False, trusted: bool = False,
+                   batched: bool = False):
+    """(fn: (H,W,C) float32 [-1,1] -> (H,W,C) float32) from a .pth checkpoint.
+
+    With ``batched=True`` the returned fn maps a stacked same-size batch
+    ``(N,H,W,C) -> (N,H,W,C)`` in one device dispatch instead — the server's
+    dynamic-batching path (eval/serve.py).  Incompatible with ``tile_parallel``
+    (rows of ONE image shard over the mesh there).
+
+    ``tile_parallel`` shards image ROWS over the mesh (large images);
+    ``tensor_parallel`` shards layer CHANNELS over a 'model' mesh axis
+    (parallel/tp.py) — multi-chip latency for images too small to tile.
+    ``trusted=True`` permits the full-unpickling torch.load fallback for files
+    that fail the safe weights-only path (e.g. trainer checkpoints written
+    before the safe opt-state format, whose 'optax_state' pickles optax
+    namedtuples).
+    """
+    if tile_parallel and tensor_parallel:
+        raise ValueError("--tile-parallel and --tensor-parallel are exclusive: "
+                         "rows OR channels shard over the devices, not both")
+    if batched and tile_parallel:
+        raise ValueError("batched denoising is incompatible with tile_parallel "
+                         "(which shards the rows of ONE image over the mesh)")
+    forward, params = build_apply(
+        checkpoint, arch, base_filters, timesteps,
+        channels=channels, bf16=bf16, engine=engine, trusted=trusted,
+    )
 
     if tile_parallel:
         from ..parallel.mesh import make_mesh

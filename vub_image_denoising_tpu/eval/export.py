@@ -39,56 +39,21 @@ def build_exported(
 ):
     """Lower the denoiser (params baked in) to a ``jax.export.Exported``.
 
-    Mirrors ``denoise_cli.build_denoiser``'s model construction; the exported
-    callable maps a normalized ``(N, size, size, C)`` [-1,1] float32 batch to
-    its denoised counterpart (diffusion: the full T-step improved sampler).
+    Model/checkpoint construction is ``denoise_cli.build_apply`` — the same
+    builder every inference entry point uses (so export cannot drift from the
+    CLI/server, e.g. the diffusion-requires-RGB guard); the exported callable
+    maps a normalized ``(N, size, size, C)`` [-1,1] float32 batch to its
+    denoised counterpart (diffusion: the full T-step improved sampler).
     """
-    from ..models.rdunet import RDUNet, RDUNetT
-    from ..utils import checkpoint as ckpt_io
+    from .denoise_cli import build_apply
 
-    dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if engine == "auto":
-        engine = "xla" if bf16 else "flax"
+    forward, params = build_apply(
+        checkpoint, arch, base_filters, timesteps,
+        channels=channels, bf16=bf16, engine=engine, trusted=trusted,
+    )
 
-    def zero_params(model, *example_args):
-        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)
-        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-    if arch == "rdunet":
-        model = RDUNet(channels=channels, base_filters=base_filters)
-        params = zero_params(model, jnp.zeros((1, 64, 64, channels)))
-        params, _ = ckpt_io.load_pth(checkpoint, params, allow_pickle=trusted)
-        if engine == "flax":
-            apply_fn = model.apply
-        else:
-            from ..models.fused_apply import rdunet_apply_fused
-
-            apply_fn = lambda p, x: rdunet_apply_fused(p, x, engine=engine)
-
-        def fn(x):
-            return apply_fn(params, x.astype(dtype)).astype(jnp.float32)
-
-    elif arch == "diffusion":
-        from ..diffusion.interpolation import InterpolationDiffusion
-
-        unet = RDUNetT(base_filters=base_filters)
-        params = zero_params(unet, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
-        params, _ = ckpt_io.load_pth(checkpoint, params, prefix="unet.",
-                                     allow_pickle=trusted)
-        diffusion = InterpolationDiffusion(timesteps=timesteps)
-        if engine == "flax":
-            unet_fn = unet.apply
-        else:
-            from ..models.fused_apply import rdunet_t_apply_fused
-
-            unet_fn = lambda p, x, t: rdunet_t_apply_fused(p, x, t, engine=engine)
-
-        def fn(x):
-            out = diffusion.improved_sampling(unet_fn, params, x.astype(dtype))
-            return out.astype(jnp.float32)
-
-    else:
-        raise ValueError(f"unknown arch '{arch}' (expected rdunet|diffusion)")
+    def fn(x):
+        return forward(params, x)
 
     if symbolic_batch:
         (b,) = jax_export.symbolic_shape("b")

@@ -6,10 +6,16 @@ service: the model is loaded and jitted ONCE, then every request is one
 device dispatch.  Stdlib-only (``http.server``) — no framework dependencies.
 
 Endpoints:
-  GET  /healthz    -> JSON: devices, arch, warm per-shape compile cache keys
+  GET  /healthz    -> JSON: devices, arch, warm per-shape compile cache keys,
+                      latency percentiles, batching counters
   POST /denoise    -> image bytes (PNG/JPEG) in, denoised PNG out.
-                      Optional query: ?grayscale=1 (server must have been
-                      started with --grayscale for channel agreement).
+                      The channel mode (RGB vs grayscale) is fixed at server
+                      start (--grayscale); inputs are converted to it.
+
+Error mapping: undecodable input -> 400; queue at capacity or service
+shutting down -> 503 (with Retry-After, so a balancer retries elsewhere);
+any internal fault during inference -> 500 (retriable server error, NOT a
+client error).
 
 TPU-shaped serving decisions:
 - XLA needs static shapes, so each distinct (padded) input geometry compiles
@@ -22,7 +28,8 @@ TPU-shaped serving decisions:
 - Dynamic batching (default --max-batch 8): concurrent same-shape requests
   coalesce into one dispatch (BatchingDenoiseService) — per-request dispatch
   leaves the MXU mostly idle below batch ~128, so coalescing is the biggest
-  serving-throughput lever.  --max-batch 1 restores request-at-a-time.
+  serving-throughput lever (measured 1.65x at 16 clients, BASELINE.md).
+  --max-batch 1 restores request-at-a-time.
 
 Usage:
   python -m vub_image_denoising_tpu.eval.serve --checkpoint ck.pth \
@@ -43,7 +50,11 @@ from .denoise_cli import build_denoiser
 
 
 class QueueFullError(Exception):
-    """Raised when the batching queue is at capacity (mapped to HTTP 503)."""
+    """Queue at capacity or service closing (mapped to HTTP 503)."""
+
+
+class BadRequestError(Exception):
+    """Client sent something we cannot decode (mapped to HTTP 400)."""
 
 
 class _LatencyWindow:
@@ -73,28 +84,41 @@ class _LatencyWindow:
 
 
 class DenoiseService:
-    """Holds the warm denoiser; thread-safe single-flight execution."""
+    """Holds the warm denoiser; thread-safe single-flight execution.
+
+    Subclasses override ``_denoise_array`` (array in -> array out); the
+    decode/normalize/encode pipeline in ``denoise_bytes`` is shared so the
+    two paths cannot drift.
+    """
 
     def __init__(self, denoise_fn, grayscale: bool = False):
         self.denoise_fn = denoise_fn
         self.grayscale = grayscale
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # serializes device dispatch
+        self._meta = threading.Lock()  # guards shapes_seen / stats vs /healthz
         self.shapes_seen = set()
         self.latency = _LatencyWindow()
+
+    def _denoise_array(self, x: np.ndarray) -> np.ndarray:
+        with self._meta:
+            self.shapes_seen.add(tuple(x.shape))
+        with self._lock:
+            return np.asarray(self.denoise_fn(x))
 
     def denoise_bytes(self, payload: bytes) -> bytes:
         from PIL import Image
 
         t0 = time.monotonic()
-        img = Image.open(io.BytesIO(payload))
-        img = img.convert("L") if self.grayscale else img.convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img = img.convert("L") if self.grayscale else img.convert("RGB")
+        except Exception as e:
+            raise BadRequestError(f"cannot decode image: {e}") from e
         arr = np.asarray(img, np.uint8)
         if arr.ndim == 2:
             arr = arr[..., None]
         x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # Normalize(0.5, 0.5)
-        with self._lock:
-            self.shapes_seen.add(tuple(x.shape))
-            y = np.asarray(self.denoise_fn(x))
+        y = self._denoise_array(x)
         out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
@@ -102,6 +126,17 @@ class DenoiseService:
         )
         self.latency.record(time.monotonic() - t0)
         return buf.getvalue()
+
+    def snapshot(self) -> dict:
+        """Consistent /healthz payload (takes the metadata lock — the request
+        path mutates ``shapes_seen`` concurrently)."""
+        with self._meta:
+            payload = {"shapes_compiled": sorted(map(list, self.shapes_seen))}
+        payload["latency"] = self.latency.percentiles()
+        return payload
+
+    def close(self):  # symmetric with BatchingDenoiseService
+        pass
 
 
 class _Pending:
@@ -124,8 +159,9 @@ class BatchingDenoiseService(DenoiseService):
     so per-request dispatch leaves most of the MXU idle under concurrent load —
     batching is the single biggest serving-throughput lever.  Requests enqueue
     per input shape; a single dispatcher thread lingers ``max_wait_ms`` for a
-    burst to land, pops up to ``max_batch`` same-shape requests, rounds the
-    batch dim up to a power of two (bounds the per-shape XLA compile count at
+    burst to land (skipped when a full ``max_batch`` is already waiting), pops
+    up to ``max_batch`` same-shape requests, rounds the batch dim up to a
+    power of two (bounds the per-shape XLA compile count at
     log2(max_batch)+1 executables; pad rows are edge-repeats, sliced off), and
     runs them as one forward.  Mixed-shape traffic still works — each shape is
     its own queue and the largest queue dispatches first.
@@ -153,41 +189,35 @@ class BatchingDenoiseService(DenoiseService):
     def _denoise_array(self, x: np.ndarray) -> np.ndarray:
         p = _Pending(x)
         with self._cv:
+            if self._closed:
+                raise QueueFullError("service is shutting down")
             queued = sum(len(q) for q in self._queues.values())
-            if queued >= self.max_queue:
-                # backpressure: reject instead of growing an unbounded queue
-                # (the client retries against a less-loaded replica)
+            rejected = queued >= self.max_queue
+            if not rejected:
+                self._queues.setdefault(x.shape, []).append(p)
+                self._cv.notify()
+        with self._meta:
+            if rejected:
                 self.stats["rejected"] += 1
-                raise QueueFullError(
-                    f"{queued} requests queued (max_queue={self.max_queue})"
-                )
-            self.stats["requests"] += 1
-            self.shapes_seen.add(tuple(x.shape))
-            self._queues.setdefault(x.shape, []).append(p)
-            self._cv.notify()
+            else:
+                self.stats["requests"] += 1
+                self.shapes_seen.add(tuple(x.shape))
+        if rejected:
+            # backpressure: reject instead of growing an unbounded queue
+            # (the client retries against a less-loaded replica)
+            raise QueueFullError(
+                f"{queued} requests queued (max_queue={self.max_queue})"
+            )
         p.done.wait()
         if p.err is not None:
             raise p.err
         return p.out
 
-    def denoise_bytes(self, payload: bytes) -> bytes:
-        from PIL import Image
-
-        t0 = time.monotonic()
-        img = Image.open(io.BytesIO(payload))
-        img = img.convert("L") if self.grayscale else img.convert("RGB")
-        arr = np.asarray(img, np.uint8)
-        if arr.ndim == 2:
-            arr = arr[..., None]
-        x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
-        y = self._denoise_array(x)
-        out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
-            buf, format="PNG"
-        )
-        self.latency.record(time.monotonic() - t0)
-        return buf.getvalue()
+    def snapshot(self) -> dict:
+        payload = super().snapshot()
+        with self._meta:
+            payload["batching"] = dict(self.stats)
+        return payload
 
     # -- dispatcher side ---------------------------------------------------
     def _collect(self):
@@ -197,7 +227,10 @@ class BatchingDenoiseService(DenoiseService):
                 self._cv.wait()
             if self._closed:
                 return None
-        if self.max_wait_ms > 0:
+            # a full batch is already waiting: dispatch now, don't idle the
+            # device for the linger window under saturation
+            full = any(len(q) >= self.max_batch for q in self._queues.values())
+        if self.max_wait_ms > 0 and not full:
             time.sleep(self.max_wait_ms / 1000.0)  # let the burst land
         with self._cv:
             live = {s: q for s, q in self._queues.items() if q}
@@ -224,7 +257,7 @@ class BatchingDenoiseService(DenoiseService):
             for p in batch:
                 p.err = e
         finally:
-            with self._cv:
+            with self._meta:
                 self.stats["batches"] += 1
                 if n > 1:
                     self.stats["batched_requests"] += n
@@ -241,9 +274,22 @@ class BatchingDenoiseService(DenoiseService):
             self._run_batch(batch)
 
     def close(self):
+        """Stop the dispatcher and fail queued waiters instead of abandoning
+        them: every _Pending still in a queue gets a 503-mapped error (its
+        client retries elsewhere), and requests arriving after close() are
+        rejected at enqueue time."""
         with self._cv:
+            if self._closed:
+                return
             self._closed = True
+            pending = [p for q in self._queues.values() for p in q]
+            self._queues.clear()
             self._cv.notify_all()
+        err = QueueFullError("service closed")
+        for p in pending:
+            p.err = err
+            p.done.set()
+        self._dispatcher.join(timeout=10.0)
 
 
 def make_handler(service: DenoiseService, info: dict):
@@ -261,12 +307,7 @@ def make_handler(service: DenoiseService, info: dict):
         def do_GET(self):
             if self.path.split("?")[0] == "/healthz":
                 payload = dict(info)
-                payload["shapes_compiled"] = sorted(
-                    map(list, service.shapes_seen)
-                )
-                if hasattr(service, "stats"):
-                    payload["batching"] = dict(service.stats)
-                payload["latency"] = service.latency.percentiles()
+                payload.update(service.snapshot())
                 self._send(200, json.dumps(payload).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -282,6 +323,9 @@ def make_handler(service: DenoiseService, info: dict):
             payload = self.rfile.read(length)
             try:
                 out = service.denoise_bytes(payload)
+            except BadRequestError as e:
+                self._send(400, str(e).encode(), "text/plain")
+                return
             except QueueFullError as e:
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
@@ -291,8 +335,10 @@ def make_handler(service: DenoiseService, info: dict):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            except Exception as e:  # undecodable image, OOM-sized input, ...
-                self._send(400, f"denoise failed: {e}".encode(), "text/plain")
+            except Exception as e:  # device OOM, dispatcher fault, ...
+                # 500, not 400: a retrying client / balancer must treat an
+                # internal inference fault as retriable, not a bad request
+                self._send(500, f"denoise failed: {e}".encode(), "text/plain")
                 return
             self._send(200, out, "image/png")
 
@@ -367,6 +413,7 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+        service.close()
 
 
 if __name__ == "__main__":

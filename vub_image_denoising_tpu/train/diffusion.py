@@ -36,11 +36,10 @@ import optax
 from ..diffusion.interpolation import InterpolationDiffusion
 from ..diffusion.losses import combined_loss
 from ..models.rdunet import RDUNetT
-from ..parallel.mesh import make_mesh, put_replicated, shard_batch
+from ..parallel.mesh import shard_batch
 from ..utils import checkpoint as ckpt_io
-from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 from .schedules import make_optimizer
-from .state import TrainState
+from .state import ShardedTrainerMixin, TrainState
 from .supervised import effective_accumulation
 
 ASCII_BANNER = r"""
@@ -114,7 +113,7 @@ def make_diffusion_train_step(
 
 
 @dataclasses.dataclass
-class DiffusionTrainer:
+class DiffusionTrainer(ShardedTrainerMixin):
     """Driver mirroring ``train(args)`` (diffusion_RDUnet.py:230-288)."""
 
     base_filters: int = 32
@@ -156,29 +155,6 @@ class DiffusionTrainer:
                 remat=self.remat,
             )
 
-    def ensure_mesh(self):
-        """Create the mesh on first use: data-parallel over all local devices,
-        or a ("data", "model") mesh (pure TP) when param_sharding='tp'."""
-        if self.mesh is None:
-            if self.param_sharding == "tp":
-                from ..parallel.tp import make_tp_mesh
-
-                self.mesh = make_tp_mesh()
-            else:
-                self.mesh = make_mesh()
-        return self.mesh
-
-    def _put_state(self, state):
-        if self.param_sharding == "fsdp":
-            from ..parallel.fsdp import put_fsdp
-
-            return put_fsdp(state, self.mesh)
-        if self.param_sharding == "tp":
-            from ..parallel.tp import put_tp
-
-            return put_tp(state, self.mesh)
-        return put_replicated(state, self.mesh)
-
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
         self.steps_per_epoch = max(1, steps_per_epoch)
@@ -191,22 +167,7 @@ class DiffusionTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        if self.param_sharding in ("fsdp", "tp"):
-            # every leaf is born in its shard: peak HBM at init is the
-            # sharded footprint, not params + f32 Adam moments replicated
-            if self.param_sharding == "fsdp":
-                from ..parallel.fsdp import init_fsdp_state as init_sharded_state
-            else:
-                from ..parallel.tp import init_tp_state as init_sharded_state
-
-            state = init_sharded_state(
-                lambda k, x, t: TrainState.create(self.unet.init(k, x, t), self.tx),
-                self.mesh, key, sample_noisy, jnp.zeros((n,)),
-            )
-        else:
-            params = jax.jit(self.unet.init)(key, sample_noisy, jnp.zeros((n,)))
-            state = TrainState.create(params, self.tx)
-        state = self._put_state(state)
+        state = self._make_state(self.unet.init, key, sample_noisy, jnp.zeros((n,)))
         step = make_diffusion_train_step(
             self._unet_apply,
             self.diffusion,
@@ -300,46 +261,19 @@ class DiffusionTrainer:
         if checkpoint_path is None or not os.path.isfile(checkpoint_path):
             print(f"No checkpoint found at '{checkpoint_path}'")
             return state, 0
-        sidecar = checkpoint_path + ".orbax"
-        if os.path.isdir(sidecar):
+        if os.path.isdir(checkpoint_path + ".orbax"):
             # exact resume from the native sidecar (full state, no torch round-trip)
-            import torch
-
-            # the inited state is the template: leaves restore BORN into its
-            # shardings (FSDP restores never materialize the replicated state)
-            restored = ckpt_io.restore_orbax(sidecar, state)
-            payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
-            start_epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
-            state = self._put_state(restored)
-            print(f"Loaded orbax sidecar '{sidecar}' (epoch {start_epoch})")
+            state, start_epoch = self._resume_from_sidecar(state, checkpoint_path)
+            print(f"Loaded orbax sidecar '{checkpoint_path}.orbax' (epoch {start_epoch})")
             return state, start_epoch
         params, payload = ckpt_io.load_pth(
             checkpoint_path, state.params, prefix="unet.", allow_pickle=True
         )
         start_epoch = int(payload.get("epoch", 0)) if payload else 0
-        opt_state = state.opt_state
         resume_step = start_epoch * getattr(self, "steps_per_epoch", 1)
-        if payload and "optax_leaves" in payload:
-            opt_state = ckpt_io.safe_to_optax_state(
-                payload["optax_leaves"], state.opt_state
-            )
-        elif payload and "optax_state" in payload:  # pre-r3 pickled-tree format
-            opt_state = jax.tree_util.tree_map(
-                lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
-                state.opt_state,
-                payload["optax_state"],
-            )
-        elif start_epoch > 0:
-            # reference-written .pth: no optax payload, but the reference restores
-            # scheduler position (diffusion_RDUnet.py:186-189) — fast-forward the
-            # LR-schedule counter (Adam itself restarts at t=0, like the
-            # reference's fresh optimizer)
-            from .schedules import fast_forward_opt_state
-
-            opt_state = fast_forward_opt_state(opt_state, resume_step)
         state = TrainState(
             params=params,
-            opt_state=opt_state,
+            opt_state=self._resume_opt_state(state.opt_state, payload, resume_step),
             step=jnp.asarray(resume_step, jnp.int32),
         )
         state = self._put_state(state)

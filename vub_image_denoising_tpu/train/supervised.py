@@ -24,11 +24,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import make_mesh, put_replicated, shard_batch
+from ..parallel.mesh import shard_batch
 from ..utils import checkpoint as ckpt_io
-from ..utils.checkpoint import load_torch_payload as _load_torch_payload
 from .schedules import make_optimizer
-from .state import TrainState
+from .state import ShardedTrainerMixin, TrainState
 
 
 def effective_accumulation(n: int, requested: int) -> int:
@@ -99,7 +98,7 @@ def make_supervised_train_step(
 
 
 @dataclasses.dataclass
-class SupervisedTrainer:
+class SupervisedTrainer(ShardedTrainerMixin):
     """Epoch-loop driver: data-parallel train steps + eval + checkpointing + TB logging.
 
     Mirrors ``train_model`` (RDUNet_model.py:217-261): per-epoch TensorBoard image
@@ -135,29 +134,6 @@ class SupervisedTrainer:
     # compute, for batches too small to shard over data)
     param_sharding: str = "replicated"
 
-    def ensure_mesh(self):
-        """Create the mesh on first use: data-parallel over all local devices,
-        or a ("data", "model") mesh (pure TP) when param_sharding='tp'."""
-        if self.mesh is None:
-            if self.param_sharding == "tp":
-                from ..parallel.tp import make_tp_mesh
-
-                self.mesh = make_tp_mesh()
-            else:
-                self.mesh = make_mesh()
-        return self.mesh
-
-    def _put_state(self, state):
-        if self.param_sharding == "fsdp":
-            from ..parallel.fsdp import put_fsdp
-
-            return put_fsdp(state, self.mesh)
-        if self.param_sharding == "tp":
-            from ..parallel.tp import put_tp
-
-            return put_tp(state, self.mesh)
-        return put_replicated(state, self.mesh)
-
     def init(self, key, sample_noisy, steps_per_epoch: int):
         self.ensure_mesh()
         self.steps_per_epoch = max(1, steps_per_epoch)
@@ -169,22 +145,7 @@ class SupervisedTrainer:
             steps_per_epoch=max(1, steps_per_epoch),
             clip_norm=self.clip_norm,
         )
-        if self.param_sharding in ("fsdp", "tp"):
-            # every leaf is born in its shard: peak HBM at init is the
-            # sharded footprint, not params + f32 Adam moments replicated
-            if self.param_sharding == "fsdp":
-                from ..parallel.fsdp import init_fsdp_state as init_sharded_state
-            else:
-                from ..parallel.tp import init_tp_state as init_sharded_state
-
-            state = init_sharded_state(
-                lambda k, x: TrainState.create(self.model.init(k, x), self.tx),
-                self.mesh, key, sample_noisy,
-            )
-        else:
-            params = jax.jit(self.model.init)(key, sample_noisy)
-            state = TrainState.create(params, self.tx)
-        state = self._put_state(state)
+        state = self._make_state(self.model.init, key, sample_noisy)
         apply = self.apply_fn
         if apply is None:
             if self.engine == "flax":
@@ -247,41 +208,18 @@ class SupervisedTrainer:
 
     def load_checkpoint(self, state, checkpoint_path):
         """Resume from a checkpoint written by maybe_checkpoint: the orbax sidecar when
-        present (exact: params + optax state + step), else the .pth params."""
+        present (exact: params + optax state + step), else the .pth params with the
+        shared resume ladder (state.py::ShardedTrainerMixin._resume_opt_state)."""
         if checkpoint_path is None or not os.path.isfile(checkpoint_path):
             return state, 0
-        sidecar = checkpoint_path + ".orbax"
-        if os.path.isdir(sidecar):
-            import torch
-
-            # the inited state is the template: leaves restore BORN into its
-            # shardings (FSDP restores never materialize the replicated state)
-            restored = ckpt_io.restore_orbax(sidecar, state)
-            payload = _load_torch_payload(checkpoint_path, allow_pickle=True)
-            epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
-            return self._put_state(restored), epoch
+        if os.path.isdir(checkpoint_path + ".orbax"):
+            return self._resume_from_sidecar(state, checkpoint_path)
         params, payload = ckpt_io.load_pth(checkpoint_path, state.params, allow_pickle=True)
         epoch = int(payload.get("epoch", 0)) if payload else 0
-        opt_state = state.opt_state
         resume_step = epoch * getattr(self, "steps_per_epoch", 1)
-        if payload and "optax_leaves" in payload:
-            opt_state = ckpt_io.safe_to_optax_state(
-                payload["optax_leaves"], state.opt_state
-            )
-        elif payload and "optax_state" in payload:  # pre-r3 pickled-tree format
-            opt_state = jax.tree_util.tree_map(
-                lambda t, v: jnp.asarray(v, t.dtype) if hasattr(t, "dtype") else v,
-                state.opt_state,
-                payload["optax_state"],
-            )
-        elif epoch > 0:
-            # torch-written .pth without our optax payload: fast-forward the
-            # StepLR/Adam counters to the resumed global step (see schedules.py)
-            from .schedules import fast_forward_opt_state
-
-            opt_state = fast_forward_opt_state(opt_state, resume_step)
         state = TrainState(
-            params=params, opt_state=opt_state,
+            params=params,
+            opt_state=self._resume_opt_state(state.opt_state, payload, resume_step),
             step=jnp.asarray(resume_step, jnp.int32),
         )
         return self._put_state(state), epoch
