@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=5)
     ap.add_argument("--base-filters", type=int, default=32)
+    ap.add_argument(
+        "--unet-base-filters", type=int, default=0,
+        help="UNet width when it differs from --base-filters (e.g. the "
+        "flagship 128 ckpt next to the base-32 diffusion ckpt); 0 = same",
+    )
     ap.add_argument("--timesteps", type=int, default=20)
     ap.add_argument("--no-bm3d", action="store_true")
     ap.add_argument("--save-dir", default="runs/comparative")
@@ -102,7 +107,7 @@ def main():
         use_bm3d=not args.no_bm3d,
         save_dir=args.save_dir,
         timesteps=args.timesteps,
-        unet_base_filters=args.base_filters,
+        unet_base_filters=args.unet_base_filters or args.base_filters,
         diffusion_base_filters=args.base_filters,
         strict_reference_conventions=not args.corrected,
         # checkpoints written by our own train_tpu_accuracy.py runs

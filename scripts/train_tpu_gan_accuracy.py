@@ -1,0 +1,176 @@
+"""GAN-family accuracy run on the real TPU.
+
+Supervised and diffusion have trained accuracy figures (runs/accuracy_log.jsonl);
+this script produces them for the remaining two trainer families — RCA-GAN
+(paper_gan.py:317-457) and the attention-U-Net denoising GAN
+(train_denoising_gan.py:173-294) — on the same synthetic protocol: grayscale
+DIV2K-stand-in content, fixed sigma-noise degraded/gt pairs (the reference GANs
+train on FIXED paired folders, not per-step noise), held-out PSNR of the
+eval-mode generator.
+
+Usage (TPU, background):
+    python scripts/train_tpu_gan_accuracy.py --algo rca --epochs 40
+Prints one JSON line at the end; appends it to runs/accuracy_log.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from train_tpu_accuracy import synth_images  # noqa: E402  (same content recipe)
+
+
+class PairLoader:
+    """Shuffled minibatches over FIXED (degraded, gt) uint8 pairs, normalized
+    to [-1,1] at yield time (Normalize(0.5, 0.5), the reference's transform)."""
+
+    def __init__(self, deg_u8, gt_u8, batch_size, seed=0, shuffle=True):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.deg, self.gt = deg_u8, gt_u8
+        self.bs = int(batch_size)
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+
+    def __len__(self):
+        return max(1, len(self.deg) // self.bs)
+
+    def _norm(self, u8):
+        return self._jnp.asarray(u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
+
+    def __iter__(self):
+        order = (self.rng.permutation(len(self.deg)) if self.shuffle
+                 else np.arange(len(self.deg)))
+        for s in range(len(self)):
+            idx = order[s * self.bs:(s + 1) * self.bs]
+            yield self._norm(self.deg[idx]), self._norm(self.gt[idx])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", choices=("rca", "attention"), default="rca")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--n-train", type=int, default=256)
+    ap.add_argument("--n-val", type=int, default=64)
+    ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="0 = the reference default (rca 5e-5, attention 1e-4)")
+    ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--ckpt-dir", default="")
+    ap.add_argument("--out", default="runs/accuracy_log.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vub_image_denoising_tpu.data.device import add_gaussian_noise_u8
+    from vub_image_denoising_tpu.eval.metrics import psnr_per_image
+    from vub_image_denoising_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    rng = np.random.RandomState(0)
+    print(f"generating {args.n_train}+{args.n_val} synthetic {args.size}^2 "
+          "grayscale images...", flush=True)
+    t0 = time.time()
+    # grayscale = luma of the RGB recipe (the paper GANs train on 1-channel pairs)
+    train_gt = synth_images(args.n_train, args.size, rng).mean(
+        axis=-1, keepdims=True).astype(np.uint8)
+    val_gt = synth_images(args.n_val, args.size, rng).mean(
+        axis=-1, keepdims=True).astype(np.uint8)
+    print(f"  done in {time.time() - t0:.0f}s", flush=True)
+
+    # FIXED degraded pairs (quantized-uint8 noise, the C1 model)
+    def degrade(gt_u8, key):
+        sig = jnp.full((len(gt_u8),), args.sigma, jnp.float32)
+        return np.asarray(jax.device_get(
+            add_gaussian_noise_u8(key, jnp.asarray(gt_u8), sig)
+        ))
+
+    train_deg = degrade(train_gt, jax.random.PRNGKey(7))
+    val_deg = degrade(val_gt, jax.random.PRNGKey(123))
+
+    ckpt_dir = args.ckpt_dir or f"runs/accuracy_ckpt_gan_{args.algo}"
+    if args.algo == "rca":
+        from vub_image_denoising_tpu.train.gan import RCAGANTrainer
+
+        trainer = RCAGANTrainer(
+            checkpoint_dir=ckpt_dir, disc_input_hw=args.size,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+    else:
+        from vub_image_denoising_tpu.train.denoising_gan import DenoisingGANTrainer
+
+        trainer = DenoisingGANTrainer(
+            checkpoint_dir=ckpt_dir,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+
+    loader = PairLoader(train_deg, train_gt, args.batch_size, seed=1)
+    sample = jnp.zeros((args.batch_size, args.size, args.size, 1), jnp.float32)
+    state = trainer.init(jax.random.PRNGKey(0), sample, steps_per_epoch=len(loader))
+
+    val_deg_n = jnp.asarray(val_deg.astype(np.float32) / 255.0 * 2.0 - 1.0)
+    val_gt01 = jnp.asarray(val_gt.astype(np.float32) / 255.0)
+
+    def evaluate(state):
+        outs = []
+        for s in range(0, len(val_deg), 32):
+            out = trainer._jit_gen_eval(
+                state.g_params, state.g_stats, val_deg_n[s:s + 32]
+            )
+            outs.append(jnp.clip((out.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0))
+        p = psnr_per_image(val_gt01, jnp.concatenate(outs), data_range=1.0)
+        return float(np.mean(np.asarray(jax.device_get(p), np.float64)))
+
+    mse = ((val_gt.astype(np.float32) / 255 - val_deg.astype(np.float32) / 255) ** 2
+           ).mean(axis=(1, 2, 3))
+    psnr_noisy = float(np.mean(10 * np.log10(1.0 / mse)))
+    print(f"noisy-input PSNR @ sigma={args.sigma}: {psnr_noisy:.2f} dB", flush=True)
+
+    key = jax.random.PRNGKey(42)
+    best = -1.0
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        te = time.time()
+        state, d_loss, g_loss = trainer.train_epoch(state, loader, key, epoch)
+        line = (f"epoch {epoch + 1}/{args.epochs} d {d_loss:.4f} g {g_loss:.4f} "
+                f"[{time.time() - te:.1f}s/epoch]")
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            psnr = evaluate(state)
+            best = max(best, psnr)
+            line += f" val PSNR {psnr:.2f} dB (best {best:.2f})"
+        print(line, flush=True)
+    train_seconds = time.time() - t0
+    trainer.save_checkpoint(state, args.epochs - 1)
+
+    rec = {
+        "metric": "gan_synthetic_psnr",
+        "algo": args.algo,
+        "sigma": args.sigma,
+        "size": args.size,
+        "epochs": args.epochs,
+        "steps": args.epochs * len(loader),
+        "psnr_noisy_db": round(psnr_noisy, 2),
+        "psnr_denoised_db": round(psnr, 2),
+        "psnr_best_db": round(best, 2),
+        "train_seconds": round(train_seconds, 1),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
