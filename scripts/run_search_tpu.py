@@ -1,0 +1,73 @@
+"""Drive the C13 hyperparameter search end-to-end on the real TPU.
+
+The search engine (search/hyperparams.py over search/optuna_compat.py — TPE
+sampler + median pruner, reference space hyperparams_search.py:32-70) is
+CPU-test-covered; this script runs a small REAL study on the chip: N trials of
+the diffusion trainer on synthetic fixed-noise pairs, per-epoch pruning, and
+the merge-safe ``trial_results.csv`` artifact.
+
+Usage (TPU):  python scripts/run_search_tpu.py --trials 4 --epochs 2
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from train_tpu_accuracy import synth_images  # noqa: E402
+from train_tpu_gan_accuracy import PairLoader  # noqa: E402  (fixed uint8 pairs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--n-train", type=int, default=64)
+    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--csv", default="runs/trial_results_tpu.csv")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vub_image_denoising_tpu.data.device import add_gaussian_noise_u8
+    from vub_image_denoising_tpu.search.hyperparams import run_search
+    from vub_image_denoising_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    rng = np.random.RandomState(0)
+    train_gt = synth_images(args.n_train, args.size, rng)
+    val_gt = synth_images(args.n_val, args.size, rng)
+
+    def degrade(gt_u8, key):
+        sig = jnp.full((len(gt_u8),), args.sigma, jnp.float32)
+        return np.asarray(jax.device_get(
+            add_gaussian_noise_u8(key, jnp.asarray(gt_u8), sig)
+        ))
+
+    train_loader = PairLoader(degrade(train_gt, jax.random.PRNGKey(1)),
+                              train_gt, args.batch_size, seed=1)
+    val_loader = PairLoader(degrade(val_gt, jax.random.PRNGKey(2)),
+                            val_gt, args.batch_size, seed=2, shuffle=False)
+
+    os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
+    if os.path.exists(args.csv):
+        os.remove(args.csv)
+    t0 = time.time()
+    study = run_search(train_loader, val_loader, n_trials=args.trials,
+                       num_epochs=args.epochs, csv_path=args.csv)
+    print(f"search wall: {time.time() - t0:.0f}s; best -psnr "
+          f"{study.best_trial.value:.3f}; csv -> {args.csv}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
