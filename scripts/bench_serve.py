@@ -12,6 +12,7 @@ reports requests/sec plus the coalescing stats.  Greenfield serving surface
 
 import argparse
 import io
+import json
 import os
 import sys
 import threading
@@ -61,8 +62,14 @@ def main():
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-batch-sweep", default="",
+                   help="comma list (e.g. '16,32,64'): run each max_batch "
+                        "(plus the max_batch=1 baseline) instead of just one")
+    p.add_argument("--clients-sweep", default="",
+                   help="comma list of concurrent-client counts per server config")
     p.add_argument("--batch-wait-ms", type=float, default=5.0)
     p.add_argument("--trusted-checkpoint", action="store_true")
+    p.add_argument("--out", default="", help="write the sweep table as JSON")
     args = p.parse_args()
 
     from PIL import Image
@@ -83,16 +90,31 @@ def main():
     Image.fromarray(arr).save(buf, format="PNG")
     payload = buf.getvalue()
 
-    results = {}
-    for mode in ("single", "batched"):
+    def phase_summary(service):
+        """Aggregate per-phase wall shares from the instrumented windows."""
+        snap = service.snapshot()
+        out = {}
+        for k, v in snap.get("phases", {}).items():
+            out[k] = {"total_s": v.get("total_s", 0.0),
+                      "mean_ms": v.get("mean_ms", 0.0), "n": v.get("n", 0)}
+        return out
+
+    # sweep grid: max_batch=1 is the single-dispatch baseline
+    batch_grid = ([1] + [int(b) for b in args.max_batch_sweep.split(",")]
+                  if args.max_batch_sweep else [1, args.max_batch])
+    client_grid = ([int(c) for c in args.clients_sweep.split(",")]
+                   if args.clients_sweep else [args.clients])
+
+    results = []
+    for mb in batch_grid:
         fn = build_denoiser(
             args.checkpoint, args.arch, args.base_filters, args.timesteps,
             bf16=args.bf16, engine=args.engine, trusted=args.trusted_checkpoint,
-            batched=(mode == "batched"),
+            batched=(mb > 1),
         )
-        if mode == "batched":
+        if mb > 1:
             service = BatchingDenoiseService(
-                fn, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms
+                fn, max_batch=mb, max_wait_ms=args.batch_wait_ms
             )
         else:
             service = DenoiseService(fn)
@@ -105,21 +127,36 @@ def main():
                                      method="POST")
         with urllib.request.urlopen(req, timeout=600) as r:
             r.read()
-        if mode == "batched":
-            warm_rps, _ = run_load(base, payload, args.max_batch, 10.0)
-            print(f"  (bucket warmup pass: {warm_rps:.2f} req/s)")
+        if mb > 1:
+            warm_rps, _ = run_load(base, payload, mb, 10.0)
+            print(f"  (max_batch {mb} bucket warmup pass: {warm_rps:.2f} req/s)")
 
-        rps, errs = run_load(base, payload, args.clients, args.seconds)
-        stats = dict(getattr(service, "stats", {}))
-        results[mode] = rps
-        print(f"{mode:8s}: {rps:7.2f} req/s  errors={errs}  {stats}")
+        for clients in client_grid:
+            rps, errs = run_load(base, payload, clients, args.seconds)
+            stats = dict(getattr(service, "stats", {}))
+            phases = phase_summary(service)
+            row = {"max_batch": mb, "clients": clients,
+                   "req_per_s": round(rps, 2), "errors": errs,
+                   "batching": stats, "phases": phases}
+            results.append(row)
+            ph = "  ".join(f"{k} {v['mean_ms']:.1f}ms" for k, v in phases.items())
+            print(f"max_batch {mb:3d} clients {clients:3d}: {rps:7.2f} req/s "
+                  f"errors={errs}  [{ph}]", flush=True)
         server.shutdown()
         if hasattr(service, "close"):
             service.close()
 
-    if results["single"] > 0:
-        print(f"batching speedup: {results['batched'] / results['single']:.2f}x "
-              f"({args.clients} clients, {args.size}px, max_batch {args.max_batch})")
+    base_rps = next((r["req_per_s"] for r in results if r["max_batch"] == 1), 0)
+    best = max(results, key=lambda r: r["req_per_s"])
+    if base_rps:
+        print(f"best: {best['req_per_s']:.2f} req/s at max_batch "
+              f"{best['max_batch']} / {best['clients']} clients "
+              f"= {best['req_per_s'] / base_rps:.2f}x over single-dispatch")
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"size": args.size, "results": results}, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

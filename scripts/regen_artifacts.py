@@ -1,0 +1,146 @@
+"""Artifact-of-record manifest + regeneration driver.
+
+Machine resets wipe ``runs/`` and the XLA compile cache (observed between rounds),
+so every checkpoint/run cited in BASELINE.md is regenerable from one command:
+
+    python scripts/regen_artifacts.py --check          # list what exists / is missing
+    python scripts/regen_artifacts.py --regen all      # rebuild everything missing
+    python scripts/regen_artifacts.py --regen flagship_blind --force
+
+Each entry names the BASELINE.md row it backs, the artifact path, the exact
+command that produced it, and the approximate wall-clock on the real TPU with a
+warm compile cache.  ``--regen`` runs entries sequentially (they contend for the
+single chip) and skips artifacts that already exist unless ``--force``.
+"""
+
+import argparse
+import json
+import os
+import shlex
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, artifact path, command, ~warm-cache minutes, BASELINE.md row)
+MANIFEST = [
+    (
+        "s25",
+        "runs/accuracy_ckpt_s25",
+        "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
+        "--sched-steps-per-epoch 100 --device-data --ckpt-dir runs/accuracy_ckpt_s25",
+        "~20 min",
+        "RDUNet-32 supervised sigma=25: 32.08 dB (31.92 on regen)",
+    ),
+    (
+        "blind",
+        "runs/accuracy_ckpt",
+        "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
+        "--sched-steps-per-epoch 100 --device-data --sigma-list 10,20,30,40,50 "
+        "--ckpt-dir runs/accuracy_ckpt",
+        "~20 min",
+        "RDUNet-32 supervised BLIND: 30.72 dB mean (30.82 on regen)",
+    ),
+    (
+        "flagship",
+        "runs/accuracy_ckpt_flagship",
+        "python scripts/train_tpu_accuracy.py --base-filters 128 --epochs 150 "
+        "--batch-size 8 --remat false --device-data "
+        "--ckpt-dir runs/accuracy_ckpt_flagship",
+        "~95 min",
+        "RDUNet-128 FLAGSHIP sigma=25: 37.14 dB",
+    ),
+    (
+        "flagship_blind",
+        "runs/accuracy_ckpt_flagship_blind",
+        "python scripts/train_tpu_accuracy.py --base-filters 128 --epochs 150 "
+        "--batch-size 8 --remat false --device-data --sigma-list 10,20,30,40,50 "
+        "--ckpt-dir runs/accuracy_ckpt_flagship_blind",
+        "~105 min",
+        "RDUNet-128 FLAGSHIP BLIND: 36.93 dB mean",
+    ),
+    (
+        "diffusion",
+        "runs/accuracy_ckpt_diffusion",
+        "python scripts/train_tpu_accuracy.py --algo diffusion --epochs 200 "
+        "--batch-size 128 --n-train 2048 --lr 2e-4 --sched-steps-per-epoch 300 "
+        "--device-data --ckpt-dir runs/accuracy_ckpt_diffusion",
+        "~60 min",
+        "RDUNet_T-32 diffusion (T=20): 29.70 dB",
+    ),
+    (
+        "gan_attention",
+        "runs/accuracy_ckpt_gan_attention",
+        "python scripts/train_tpu_gan_accuracy.py --algo attention --epochs 40",
+        "~5 min",
+        "Attention-GAN: 29.87 dB best",
+    ),
+    (
+        "comparative_flagship",
+        "runs/comparative_flagship",
+        "python scripts/run_comparative_suite.py "
+        "--unet-ckpt runs/accuracy_ckpt_flagship_blind/rdunet_denoising.pth "
+        "--unet-base-filters 128 --diffusion-ckpt "
+        "runs/accuracy_ckpt_diffusion/diffusion_RDUNet_model_checkpointed_epoch_200.pth "
+        "--epoch-label 200 --save-dir runs/comparative_flagship",
+        "~25 min",
+        "Comparative suite re-run with the flagship blind ckpt",
+    ),
+    (
+        "search_tpu",
+        "runs/trial_results_tpu.csv",
+        "python scripts/run_search_tpu.py --trials 4 --epochs 2",
+        "~10 min",
+        "C13 search study on hardware (4-trial demo row)",
+    ),
+]
+
+
+def check():
+    rows = []
+    for name, path, cmd, cost, row in MANIFEST:
+        exists = os.path.exists(os.path.join(REPO, path))
+        rows.append({"name": name, "path": path, "exists": exists,
+                     "regen_cost": cost, "baseline_row": row})
+    width = max(len(r["name"]) for r in rows)
+    for r in rows:
+        mark = "live      " if r["exists"] else "MISSING   "
+        print(f"{mark} {r['name']:<{width}}  {r['path']}  ({r['regen_cost']})")
+    missing = [r["name"] for r in rows if not r["exists"]]
+    print(json.dumps({"live": len(rows) - len(missing), "missing": missing}))
+    return rows
+
+
+def regen(names, force=False):
+    todo = [e for e in MANIFEST if names == ["all"] or e[0] in names]
+    if not todo:
+        sys.exit(f"no manifest entries match {names}; known: {[e[0] for e in MANIFEST]}")
+    for name, path, cmd, cost, _ in todo:
+        full = os.path.join(REPO, path)
+        if os.path.exists(full) and not force:
+            print(f"[skip] {name}: {path} exists (use --force to rebuild)")
+            continue
+        print(f"[regen] {name}: {cmd}  (expect {cost} warm-cache)", flush=True)
+        t0 = time.time()
+        rc = subprocess.call(shlex.split(cmd), cwd=REPO)
+        print(f"[regen] {name}: rc={rc} in {time.time() - t0:.0f}s", flush=True)
+        if rc != 0:
+            sys.exit(rc)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--check", action="store_true", help="list artifact status (default)")
+    ap.add_argument("--regen", nargs="+", metavar="NAME",
+                    help="rebuild the named artifacts (or 'all')")
+    ap.add_argument("--force", action="store_true", help="rebuild even if present")
+    args = ap.parse_args(argv)
+    if args.regen:
+        regen(args.regen, force=args.force)
+    else:
+        check()
+
+
+if __name__ == "__main__":
+    main()

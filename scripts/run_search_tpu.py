@@ -7,6 +7,13 @@ the diffusion trainer on synthetic fixed-noise pairs, per-epoch pruning, and
 the merge-safe ``trial_results.csv`` artifact.
 
 Usage (TPU):  python scripts/run_search_tpu.py --trials 4 --epochs 2
+
+Reference-scale study (hyperparams_search.py:93-104 runs 50 trials x ~5 epochs;
+VERDICT r3 #3 asks for >=25 trials at the 256^2-patch protocol):
+
+    python scripts/run_search_tpu.py --trials 25 --epochs 5 --size 256 \
+        --n-train 256 --n-val 16 --batch-size 16 --engine xla --bf16 \
+        --csv runs/trial_results_tpu_ref_scale.csv
 """
 
 import argparse
@@ -33,6 +40,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--sigma", type=float, default=25.0)
     ap.add_argument("--csv", default="runs/trial_results_tpu.csv")
+    ap.add_argument("--engine", default="flax", choices=("flax", "xla", "pallas"),
+                    help="run every trial's trainer on this engine (xla = the "
+                         "measured hardware sweet spot; search space unchanged)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute for every trial (hardware sweet spot)")
     args = ap.parse_args()
 
     import jax
@@ -62,9 +74,13 @@ def main():
     os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
     if os.path.exists(args.csv):
         os.remove(args.csv)
+    trainer_kwargs = {"engine": args.engine}
+    if args.bf16:
+        trainer_kwargs["compute_dtype"] = jnp.bfloat16
     t0 = time.time()
     study = run_search(train_loader, val_loader, n_trials=args.trials,
-                       num_epochs=args.epochs, csv_path=args.csv)
+                       num_epochs=args.epochs, csv_path=args.csv,
+                       trainer_kwargs=trainer_kwargs)
     print(f"search wall: {time.time() - t0:.0f}s; best -psnr "
           f"{study.best_trial.value:.3f}; csv -> {args.csv}", flush=True)
 

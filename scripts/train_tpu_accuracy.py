@@ -61,6 +61,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("supervised", "diffusion"), default="supervised")
     ap.add_argument("--timesteps", type=int, default=20)
+    ap.add_argument("--loss-weights", default="0,1,0",
+                    help="diffusion combined_loss mse,charbonnier,ssim weights "
+                         "(diffusion_RDUnet.py:60-65; reference default 0,1,0)")
+    ap.add_argument("--t-dist", choices=("uniform", "biased"), default="uniform",
+                    help="diffusion timestep sampling: uniform ints or the "
+                         "reference's Beta(2,1) bias toward T (:71-73)")
+    ap.add_argument("--tag", default="", help="extra label for the output record")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--base-filters", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=128)
@@ -174,6 +181,8 @@ def main():
         trainer = DiffusionTrainer(
             base_filters=args.base_filters, timesteps=args.timesteps, lr=args.lr,
             engine=args.engine, remat=remat, compute_dtype=jnp.bfloat16,
+            loss_weights=tuple(float(w) for w in args.loss_weights.split(",")),
+            distribution_choice=args.t_dist,
             output_dir=args.ckpt_dir or "runs/accuracy_ckpt_diffusion",
         )
     else:
@@ -292,6 +301,7 @@ def main():
         "metric": f"rdunet_{args.algo}_synthetic_psnr",
         # the scalar sigma is meaningless (unused) under --sigma-list
         "sigma": None if sigma_list is not None else sigma,
+        "tag": args.tag or None,
         "base_filters": args.base_filters,
         "epochs": global_last + 1,
         "steps": (global_last + 1) * steps_per_epoch,
@@ -300,6 +310,11 @@ def main():
         "psnr_best_db": round(best, 2),
         "train_seconds": round(time.time() - t_train0, 1),
     }
+    if args.algo == "diffusion":
+        result["timesteps"] = args.timesteps
+        result["loss_weights"] = args.loss_weights
+        result["t_dist"] = args.t_dist
+        result["lr"] = args.lr
     if start_epoch:
         result["resumed_from_epoch"] = start_epoch
     if sigma_list is not None:

@@ -56,7 +56,22 @@ class PairLoader:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", choices=("rca", "attention"), default="rca")
+    ap.add_argument("--algo", choices=("rca", "attention", "hybrid"), default="rca")
+    ap.add_argument("--critic-norm", choices=("bn", "none", "layernorm"), default="bn",
+                    help="RCA critic normalization (the BN-divergence ablation; "
+                         "'bn' is the reference architecture)")
+    ap.add_argument("--num-timesteps", type=int, default=1000,
+                    help="DDPM timesteps for --algo hybrid")
+    ap.add_argument("--tag", default="", help="extra label for the output record")
+    # RCA multimodal G-objective slot weights (named by SLOT semantics, not the
+    # reference's shifted argument names — see train/gan.py field comments):
+    # feat = VGG-feature MSE (slot 1), content = pixel L1 (slot 2),
+    # texture = gram MSE (slot 3), adv = WGAN adversarial (slot 4).
+    # Defaults (-1) keep the reference values (1, 0.01, 0.001, 1).
+    ap.add_argument("--lam-feat", type=float, default=-1.0)
+    ap.add_argument("--lam-content", type=float, default=-1.0)
+    ap.add_argument("--lam-texture", type=float, default=-1.0)
+    ap.add_argument("--lam-adv", type=float, default=-1.0)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--size", type=int, default=64)
@@ -101,11 +116,32 @@ def main():
     val_deg = degrade(val_gt, jax.random.PRNGKey(123))
 
     ckpt_dir = args.ckpt_dir or f"runs/accuracy_ckpt_gan_{args.algo}"
+    # slot-weight overrides -> RCAGANTrainer's (shifted) field names
+    lam_kw = {}
+    for flag, field in (("lam_feat", "lambda_pixel"),
+                        ("lam_content", "lambda_perceptual"),
+                        ("lam_texture", "lambda_texture"),
+                        ("lam_adv", "lambda_adv")):
+        v = getattr(args, flag)
+        if v >= 0:
+            lam_kw[field] = v
     if args.algo == "rca":
         from vub_image_denoising_tpu.train.gan import RCAGANTrainer
 
         trainer = RCAGANTrainer(
             checkpoint_dir=ckpt_dir, disc_input_hw=args.size,
+            critic_norm=args.critic_norm, **lam_kw,
+            **({"lr": args.lr} if args.lr else {}),
+        )
+    elif args.algo == "hybrid":
+        # C17: the diffusion-GAN hybrid (experimental_diffusion_gan.py:390-395)
+        from vub_image_denoising_tpu.models.experimental import GeneratorWithDiffusion
+        from vub_image_denoising_tpu.train.gan import RCAGANTrainer
+
+        trainer = RCAGANTrainer(
+            generator=GeneratorWithDiffusion(1, 1, num_timesteps=args.num_timesteps),
+            checkpoint_dir=ckpt_dir, disc_input_hw=args.size,
+            critic_norm=args.critic_norm, **lam_kw,
             **({"lr": args.lr} if args.lr else {}),
         )
     else:
@@ -119,6 +155,15 @@ def main():
     loader = PairLoader(train_deg, train_gt, args.batch_size, seed=1)
     sample = jnp.zeros((args.batch_size, args.size, args.size, 1), jnp.float32)
     state = trainer.init(jax.random.PRNGKey(0), sample, steps_per_epoch=len(loader))
+    if args.algo == "hybrid":
+        # the hybrid module's own init (experimental_diffusion_gan.py:405-414)
+        from vub_image_denoising_tpu.train.gan import weights_init_normal
+
+        ki, kd = jax.random.split(jax.random.PRNGKey(1))
+        state = state.replace(
+            g_params=weights_init_normal(state.g_params, ki),
+            d_params=weights_init_normal(state.d_params, kd),
+        )
 
     val_deg_n = jnp.asarray(val_deg.astype(np.float32) / 255.0 * 2.0 - 1.0)
     val_gt01 = jnp.asarray(val_gt.astype(np.float32) / 255.0)
@@ -126,9 +171,12 @@ def main():
     def evaluate(state):
         outs = []
         for s in range(0, len(val_deg), 32):
-            out = trainer._jit_gen_eval(
-                state.g_params, state.g_stats, val_deg_n[s:s + 32]
-            )
+            if args.algo == "hybrid":
+                out = trainer.generate(state, val_deg_n[s:s + 32], jax.random.PRNGKey(s))
+            else:
+                out = trainer._jit_gen_eval(
+                    state.g_params, state.g_stats, val_deg_n[s:s + 32]
+                )
             outs.append(jnp.clip((out.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0))
         p = psnr_per_image(val_gt01, jnp.concatenate(outs), data_range=1.0)
         return float(np.mean(np.asarray(jax.device_get(p), np.float64)))
@@ -157,6 +205,11 @@ def main():
     rec = {
         "metric": "gan_synthetic_psnr",
         "algo": args.algo,
+        "critic_norm": args.critic_norm,
+        "n_train": args.n_train,
+        "lr": args.lr or None,
+        "tag": args.tag or None,
+        "lambdas": lam_kw or None,
         "sigma": args.sigma,
         "size": args.size,
         "epochs": args.epochs,
@@ -164,6 +217,8 @@ def main():
         "psnr_noisy_db": round(psnr_noisy, 2),
         "psnr_denoised_db": round(psnr, 2),
         "psnr_best_db": round(best, 2),
+        "d_loss_final": round(d_loss, 3),
+        "g_loss_final": round(g_loss, 3),
         "train_seconds": round(train_seconds, 1),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -66,6 +66,62 @@ def test_generator_with_diffusion_forward():
     assert float(jnp.abs(y).max()) <= 1.0
 
 
+def test_diffusion_gan_hybrid_trains(tmp_path):
+    """C17: GeneratorWithDiffusion runs real G/D optimizer steps against the RCA-GAN
+    critic/losses (experimental_diffusion_gan.py:390-395) — per-batch DDPM timestep
+    through q_sample, mutable batch_stats under grad, WGAN-GP intact."""
+    import torch
+
+    from vub_image_denoising_tpu.train.gan import RCAGANTrainer, weights_init_normal
+
+    trainer = RCAGANTrainer(
+        generator=GeneratorWithDiffusion(1, 1, num_timesteps=10),
+        checkpoint_dir=str(tmp_path), disc_input_hw=16,
+    )
+    rng = np.random.RandomState(0)
+    sample = jnp.array(rng.randn(2, 16, 16, 1).astype(np.float32)) * 0.1
+    state = trainer.init(jax.random.PRNGKey(0), sample, steps_per_epoch=1)
+    ki, kd = jax.random.split(jax.random.PRNGKey(1))
+    state = state.replace(
+        g_params=weights_init_normal(state.g_params, ki),
+        d_params=weights_init_normal(state.d_params, kd),
+    )
+    # weights_init_normal semantics (experimental_diffusion_gan.py:405-411)
+    k0 = state.g_params["feature_extraction.2"]["kernel"]
+    assert 0.005 < float(jnp.std(k0)) < 0.05
+    bn_scale = jax.tree_util.tree_leaves(
+        {k: v for k, v in state.d_params["conv_layers.0"].items() if k == "bn"}
+    )
+    assert bn_scale  # critic BN present under default norm="bn"
+
+    degraded = jnp.array(rng.randn(2, 16, 16, 1).astype(np.float32)) * 0.1
+    gt = jnp.array(rng.randn(2, 16, 16, 1).astype(np.float32)) * 0.1
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    losses = []
+    for i in range(2):  # >= 2 full optimizer rounds
+        state, d_loss = trainer._jit_d_step(state, jax.random.PRNGKey(10 + i), degraded, gt)
+        state, g_loss, parts = trainer._jit_g_step(
+            state, jax.random.PRNGKey(20 + i), degraded, gt, trainer.vgg_params
+        )
+        losses += [float(d_loss), float(g_loss)] + [float(v) for v in parts.values()]
+    assert all(np.isfinite(v) for v in losses)
+    assert not np.allclose(np.asarray(g0), np.asarray(jax.tree_util.tree_leaves(state.g_params)[0]))
+
+    # stochastic eval forward (the hybrid's q_sample draw stays live in eval mode)
+    out = trainer.generate(state, degraded, jax.random.PRNGKey(3))
+    assert out.shape == degraded.shape
+
+    # checkpoint round-trip under torch's safe weights-only default
+    path = trainer.save_checkpoint(state, epoch=9)
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    assert {"generator_state_dict", "discriminator_state_dict"} <= set(payload)
+    assert any(k.startswith("unet.") for k in payload["generator_state_dict"])
+
+    # validation path (full multimodal objective) also runs with the hybrid
+    vloss = trainer._jit_val_loss(state, jax.random.PRNGKey(4), degraded, gt, trainer.vgg_params)
+    assert np.isfinite(float(vloss))
+
+
 def test_unet_s_legacy():
     m = UNetS(remat=True)
     x = jnp.array(np.random.RandomState(0).randn(2, 16, 16, 3).astype(np.float32))

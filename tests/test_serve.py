@@ -57,10 +57,18 @@ def test_serve_denoise_roundtrip(tmp_path):
         want = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
         np.testing.assert_array_equal(out, want)
 
-        # healthz now records the compiled shape
+        # healthz now records the compiled shape + the phase breakdown
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
             health = json.loads(r.read())
         assert [37, 29, 3] in health["shapes_compiled"]
+        phases = health["phases"]
+        assert set(phases) == {"decode", "queue", "device", "encode"}
+        for k in ("decode", "queue", "device", "encode"):
+            assert phases[k]["n"] == 1, (k, phases[k])
+            assert phases[k]["total_s"] >= 0.0
+        # phase walls must roughly reassemble the request wall
+        total = sum(phases[k]["total_s"] for k in phases)
+        assert total <= health["latency"]["total_s"] + 0.05
     finally:
         server.shutdown()
 
@@ -300,6 +308,12 @@ def test_backpressure_rejects_with_503_and_latency_percentiles(tmp_path):
         lat = health["latency"]
         assert lat["n"] >= 1 and lat["p50_ms"] >= 500  # slow fn dominates
         assert lat["p50_ms"] <= lat["p90_ms"] <= lat["p99_ms"]
+        # phase attribution: the slow fn lands in the device window, and the
+        # device window counts DISPATCHES (once per batch), not requests
+        ph = health["phases"]
+        assert ph["device"]["n"] == health["batching"]["batches"]
+        assert ph["device"]["p50_ms"] >= 500
+        assert ph["queue"]["n"] >= 1  # every accepted request waited measurably
     finally:
         server.shutdown()
         service.close()

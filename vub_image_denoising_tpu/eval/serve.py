@@ -7,7 +7,9 @@ device dispatch.  Stdlib-only (``http.server``) — no framework dependencies.
 
 Endpoints:
   GET  /healthz    -> JSON: devices, arch, warm per-shape compile cache keys,
-                      latency percentiles, batching counters
+                      latency percentiles, batching counters, and a per-phase
+                      breakdown (decode / queue / device / encode) that
+                      attributes request wall-clock for bottleneck analysis
   POST /denoise    -> image bytes (PNG/JPEG) in, denoised PNG out.
                       The channel mode (RGB vs grayscale) is fixed at server
                       start (--grayscale); inputs are converted to it.
@@ -58,28 +60,38 @@ class BadRequestError(Exception):
 
 
 class _LatencyWindow:
-    """Rolling per-request wall-time window -> p50/p90/p99 for /healthz."""
+    """Rolling per-request wall-time window -> p50/p90/p99 for /healthz.
+
+    Also keeps lifetime totals (sum/count over ALL samples, not just the
+    window) so /healthz can attribute aggregate wall-clock to phases."""
 
     def __init__(self, maxlen: int = 1000):
         from collections import deque
 
         self._lock = threading.Lock()
         self._samples = deque(maxlen=maxlen)
+        self._total = 0.0
+        self._count = 0
 
     def record(self, seconds: float):
         with self._lock:
             self._samples.append(seconds)
+            self._total += seconds
+            self._count += 1
 
     def percentiles(self):
         with self._lock:
             if not self._samples:
                 return {"n": 0}
             ms = np.sort(np.asarray(self._samples)) * 1000.0
+            total, count = self._total, self._count
         return {
-            "n": int(ms.size),
+            "n": count,
             "p50_ms": round(float(np.percentile(ms, 50)), 2),
             "p90_ms": round(float(np.percentile(ms, 90)), 2),
             "p99_ms": round(float(np.percentile(ms, 99)), 2),
+            "mean_ms": round(total / count * 1000.0, 2),
+            "total_s": round(total, 3),
         }
 
 
@@ -98,12 +110,24 @@ class DenoiseService:
         self._meta = threading.Lock()  # guards shapes_seen / stats vs /healthz
         self.shapes_seen = set()
         self.latency = _LatencyWindow()
+        # per-request phase attribution ("where does a request's wall go?"):
+        # decode (bytes -> normalized array, host), queue (wait for the device
+        # lock / batch dispatch), device (forward incl. transfers; recorded
+        # per DISPATCH, so batched requests share one sample), encode
+        # (array -> PNG bytes, host).  total_s across phases ~ latency total.
+        self.phases = {k: _LatencyWindow() for k in
+                       ("decode", "queue", "device", "encode")}
 
     def _denoise_array(self, x: np.ndarray) -> np.ndarray:
         with self._meta:
             self.shapes_seen.add(tuple(x.shape))
+        t0 = time.monotonic()
         with self._lock:
-            return np.asarray(self.denoise_fn(x))
+            t1 = time.monotonic()
+            y = np.asarray(self.denoise_fn(x))
+        self.phases["queue"].record(t1 - t0)
+        self.phases["device"].record(time.monotonic() - t1)
+        return y
 
     def denoise_bytes(self, payload: bytes) -> bytes:
         from PIL import Image
@@ -118,12 +142,16 @@ class DenoiseService:
         if arr.ndim == 2:
             arr = arr[..., None]
         x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # Normalize(0.5, 0.5)
+        t1 = time.monotonic()
+        self.phases["decode"].record(t1 - t0)
         y = self._denoise_array(x)
+        t2 = time.monotonic()
         out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
             buf, format="PNG"
         )
+        self.phases["encode"].record(time.monotonic() - t2)
         self.latency.record(time.monotonic() - t0)
         return buf.getvalue()
 
@@ -133,6 +161,7 @@ class DenoiseService:
         with self._meta:
             payload = {"shapes_compiled": sorted(map(list, self.shapes_seen))}
         payload["latency"] = self.latency.percentiles()
+        payload["phases"] = {k: w.percentiles() for k, w in self.phases.items()}
         return payload
 
     def close(self):  # symmetric with BatchingDenoiseService
@@ -142,13 +171,14 @@ class DenoiseService:
 class _Pending:
     """One in-flight request in the batching queue."""
 
-    __slots__ = ("x", "out", "err", "done")
+    __slots__ = ("x", "out", "err", "done", "t_enq")
 
     def __init__(self, x):
         self.x = x
         self.out = None
         self.err = None
         self.done = threading.Event()
+        self.t_enq = time.monotonic()
 
 
 class BatchingDenoiseService(DenoiseService):
@@ -249,6 +279,9 @@ class BatchingDenoiseService(DenoiseService):
         while nb < n:
             nb *= 2
         xs = np.stack([p.x for p in batch] + [batch[-1].x] * (nb - n))
+        t0 = time.monotonic()
+        for p in batch:  # time from enqueue to dispatch (linger + backlog)
+            self.phases["queue"].record(t0 - p.t_enq)
         try:
             ys = np.asarray(self.denoise_fn(xs))
             for i, p in enumerate(batch):
@@ -257,6 +290,8 @@ class BatchingDenoiseService(DenoiseService):
             for p in batch:
                 p.err = e
         finally:
+            # one device sample per DISPATCH (batched requests share it)
+            self.phases["device"].record(time.monotonic() - t0)
             with self._meta:
                 self.stats["batches"] += 1
                 if n > 1:

@@ -92,17 +92,37 @@ class CooperativeAttention(nn.Module):
 
 
 class ConvBlock(nn.Module):
+    """lrelu0.2(norm(conv(k,s,p))) (paper_gan.py:50-58).
+
+    ``norm`` defaults to the reference's BatchNorm.  ``"none"`` and ``"layernorm"``
+    exist for the WGAN-GP critic ablation (the WGAN-GP paper's own guidance is that
+    per-sample penalties are incompatible with batch statistics; LayerNorm over the
+    channel axis is the standard drop-in).  Param names are unchanged for norm="bn"
+    so .pth checkpoint mapping is unaffected.
+    """
+
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    norm: str = "bn"
 
     def setup(self):
         self.conv = TorchConv(self.out_channels, self.kernel_size, self.stride, self.padding)
-        self.bn = TorchBatchNorm(self.out_channels)
+        if self.norm == "bn":
+            self.bn = TorchBatchNorm(self.out_channels)
+        elif self.norm == "layernorm":
+            self.ln = nn.LayerNorm()
+        elif self.norm != "none":
+            raise ValueError(f"unknown norm {self.norm!r}")
 
     def __call__(self, x, train: bool = True):
-        return leaky_relu(self.bn(self.conv(x), train=train), 0.2)
+        h = self.conv(x)
+        if self.norm == "bn":
+            h = self.bn(h, train=train)
+        elif self.norm == "layernorm":
+            h = self.ln(h)
+        return leaky_relu(h, 0.2)
 
 
 class ResidualBlock(nn.Module):
@@ -199,14 +219,21 @@ class Generator(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """WGAN critic (paper_gan.py:175-200)."""
+    """WGAN critic (paper_gan.py:175-200).
+
+    ``norm`` selects the conv-block normalization: "bn" is the reference
+    architecture; "none"/"layernorm" are the controlled-ablation variants for the
+    BatchNorm-critic divergence study (BN couples samples inside the per-sample
+    WGAN-GP Lipschitz penalty)."""
 
     in_channels: int = 1
+    norm: str = "bn"
 
     def setup(self):
         specs = [(64, 1), (64, 2), (128, 1), (128, 2), (256, 1), (256, 2)]
         self.conv_layers = [
-            ConvBlock(c, 3, s, 1, name=f"conv_layers.{i}") for i, (c, s) in enumerate(specs)
+            ConvBlock(c, 3, s, 1, norm=self.norm, name=f"conv_layers.{i}")
+            for i, (c, s) in enumerate(specs)
         ]
         self.fc1 = TorchLinear(1024, name="fc_layers.0")
         self.fc2 = TorchLinear(1, name="fc_layers.2")

@@ -58,10 +58,30 @@ def objective_gan(trial, train_loader, val_loader, num_epochs: int = 5,
 
 
 def run_gan_search(train_loader, val_loader, n_trials: int = 20,
-                   num_epochs: int = 5, seed: int = 0):
+                   num_epochs: int = 5, seed: int = 0,
+                   csv_path: Optional[str] = None):
     study = create_study(direction="minimize", seed=seed)
+    callbacks = []
+    if csv_path:
+
+        def _save(_study, trial):
+            if trial.value is None:
+                return
+            import os
+
+            import pandas as pd
+
+            row = dict(trial.params)
+            row["val_l1"] = trial.value  # minimized directly (not a -PSNR)
+            df = pd.DataFrame([row])
+            if os.path.exists(csv_path):
+                df = pd.concat([pd.read_csv(csv_path), df], ignore_index=True)
+            df.to_csv(csv_path, index=False)
+
+        callbacks.append(_save)
     study.optimize(
         lambda t: objective_gan(t, train_loader, val_loader, num_epochs=num_epochs),
         n_trials=n_trials,
+        callbacks=callbacks,
     )
     return study

@@ -48,8 +48,11 @@ def evaluate_trial_psnr(trainer: DiffusionTrainer, state, val_loader) -> float:
 
 
 def objective(trial, train_loader, val_loader, num_epochs: int = 5,
-              output_root: str = "checkpoints"):
-    """Search-space parity with hyperparams_search.py:32-70."""
+              output_root: str = "checkpoints", trainer_kwargs: Optional[dict] = None):
+    """Search-space parity with hyperparams_search.py:32-70.
+
+    ``trainer_kwargs`` lets a study run every trial at the hardware sweet spot
+    (e.g. engine='xla', compute_dtype=bf16) without touching the search space."""
     base_filters = trial.suggest_int("base_filters", 16, 64, step=16)
     timesteps = trial.suggest_int("timesteps", 10, 20, step=5)
     optimizer_choice = trial.suggest_categorical("optimizer_choice", ["adam", "adamw"])
@@ -68,6 +71,7 @@ def objective(trial, train_loader, val_loader, num_epochs: int = 5,
         optimizer_choice=optimizer_choice, scheduler_choice=scheduler_choice,
         lr=lr, weight_decay=weight_decay,
         output_dir=os.path.join(output_root, f"trial_{trial.number}"),
+        **(trainer_kwargs or {}),
     )
     sample = next(iter(val_loader))[0]
     state = trainer.init(jax.random.PRNGKey(trial.number), sample,
@@ -107,11 +111,13 @@ def save_trial_results(trial, value, csv_path="trial_results.csv"):
 
 
 def run_search(train_loader, val_loader, n_trials: int = 50, num_epochs: int = 5,
-               csv_path: str = "trial_results.csv", seed: int = 0):
+               csv_path: str = "trial_results.csv", seed: int = 0,
+               trainer_kwargs: Optional[dict] = None):
     """Study driver (hyperparams_search.py:93-104)."""
     study = create_study(direction="minimize", seed=seed)
     study.optimize(
-        lambda t: objective(t, train_loader, val_loader, num_epochs=num_epochs),
+        lambda t: objective(t, train_loader, val_loader, num_epochs=num_epochs,
+                            trainer_kwargs=trainer_kwargs),
         n_trials=n_trials,
         callbacks=[lambda s, t: save_trial_results(t, t.value, csv_path)
                    if t.value is not None else None],

@@ -123,6 +123,9 @@ class DiffusionTrainer(ShardedTrainerMixin):
     lr: float = 1e-4
     weight_decay: float = 1e-4
     distribution_choice: str = "uniform"
+    # (mse, charbonnier, ssim) weights of combined_loss — the reference's own
+    # tuning knobs (diffusion_RDUnet.py:60-65, defaults 0/1/0)
+    loss_weights: tuple = (0.0, 1.0, 0.0)
     sampling: str = "improved"  # 'improved' (T-step) or 'direct' (t=1 ablation, C12)
     accumulation_steps: int = 4
     clip_norm: float = 0.1
@@ -174,6 +177,7 @@ class DiffusionTrainer(ShardedTrainerMixin):
             self.tx,
             accumulation_steps=self.accumulation_steps,
             distribution=self.distribution_choice,
+            loss_weights=tuple(self.loss_weights),
             compute_dtype=self.compute_dtype,
         )
         self._jit_step = jax.jit(step, donate_argnums=(0,))
@@ -329,6 +333,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--distribution_choice", type=str, default="uniform",
                    choices=["uniform", "biased"])
+    p.add_argument("--loss_weights", type=str, default="0,1,0",
+                   help="mse,charbonnier,ssim weights of combined_loss "
+                        "(diffusion_RDUnet.py:60-65 defaults 0,1,0)")
     # TPU-native extras (no reference counterpart)
     p.add_argument("--data_root", type=str, default="dataset",
                    help="root containing DIV2K_train_HR.nosync / SIDD_dataset.nosync")
@@ -388,6 +395,9 @@ def train(args, train_loader=None, val_loader=None):
     for k, v in sorted(vars(args).items()):
         print(f"{k}: {v}")
 
+    loss_weights = getattr(args, "loss_weights", None) or (0.0, 1.0, 0.0)
+    if isinstance(loss_weights, str):
+        loss_weights = tuple(float(w) for w in loss_weights.split(","))
     trainer = DiffusionTrainer(
         base_filters=args.base_filters,
         timesteps=args.timesteps,
@@ -396,6 +406,7 @@ def train(args, train_loader=None, val_loader=None):
         lr=args.lr,
         weight_decay=args.weight_decay,
         distribution_choice=args.distribution_choice,
+        loss_weights=loss_weights,
         output_dir=args.output_dir,
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         engine=getattr(args, "engine", "flax"),

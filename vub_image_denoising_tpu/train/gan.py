@@ -21,6 +21,7 @@ only affect eval mode).
 """
 
 import dataclasses
+import inspect
 import os
 import time
 from typing import Any, Optional
@@ -54,9 +55,16 @@ class GANTrainState:
 class RCAGANTrainer:
     in_channels: int = 1
     out_channels: int = 1
+    # NOTE the reference's argument-shift quirk (module docstring): these three
+    # land on multimodal slots (lambda1=VGG-feature MSE, lambda2=content L1,
+    # lambda3=texture) — i.e. 'lambda_pixel' actually weights the PERCEPTUAL
+    # term and the pixel L1 gets 0.01.  Reproduced exactly by default.
     lambda_pixel: float = 1.0
     lambda_perceptual: float = 0.01
     lambda_texture: float = 0.001
+    # adversarial slot weight: the reference hardcodes 1 (paper_gan.py:287);
+    # exposed as the G-objective-balance ablation knob (0 = fidelity-only G)
+    lambda_adv: float = 1.0
     lambda_gp: float = 10.0
     lr: float = 5e-5
     betas: tuple = (0.5, 0.999)
@@ -65,17 +73,39 @@ class RCAGANTrainer:
     vgg_weights_path: Optional[str] = None
     mesh: Any = None
     writer: Any = None
+    # C17: pass generator=GeneratorWithDiffusion(...) to train the diffusion-GAN
+    # hybrid against the same critic/losses (experimental_diffusion_gan.py:390-395).
+    # Generators whose __call__ takes a ``key`` arg (the hybrid's per-batch DDPM
+    # timestep + q_sample noise) get a fresh fold of the step key.
+    generator: Any = None
+    # critic_norm: "bn" (reference) | "none" | "layernorm" — the WGAN-GP critic
+    # normalization ablation (see models/rca_gan.py::Discriminator).
+    critic_norm: str = "bn"
 
     def __post_init__(self):
-        self.generator = Generator(self.in_channels, self.out_channels)
-        self.discriminator = Discriminator(self.in_channels)
+        if self.generator is None:
+            self.generator = Generator(self.in_channels, self.out_channels)
+        self._gen_takes_key = "key" in inspect.signature(
+            type(self.generator).__call__
+        ).parameters
+        self.discriminator = Discriminator(self.in_channels, norm=self.critic_norm)
         self.vgg = VGG19Features(num_layers=8)
+
+    def _gen_init(self, key, sample):
+        if self._gen_takes_key:
+            ki, kf = jax.random.split(key)
+            return jax.jit(self.generator.init, static_argnames=("train",))(
+                ki, sample, kf, train=False
+            )
+        return jax.jit(self.generator.init, static_argnames=("train",))(
+            key, sample, train=False
+        )
 
     def init(self, key, sample, steps_per_epoch: int):
         if self.mesh is None:
             self.mesh = make_mesh()
         kg, kd, kv = jax.random.split(key, 3)
-        gv = jax.jit(self.generator.init, static_argnames=("train",))(kg, sample, train=False)
+        gv = self._gen_init(kg, sample)
         disc_sample = jnp.zeros(
             (sample.shape[0], self.disc_input_hw, self.disc_input_hw, self.in_channels),
             sample.dtype,
@@ -115,11 +145,13 @@ class RCAGANTrainer:
         gen, disc, vgg = self.generator, self.discriminator, self.vgg
         tx_g, tx_d = self.tx_g, self.tx_d
         lam_gp = self.lambda_gp
+        takes_key = self._gen_takes_key
 
-        def gen_fwd(params, stats, x):
+        def gen_fwd(params, stats, x, key):
+            kw = {"key": key} if takes_key else {}
             out, mut = gen.apply(
                 {"params": params, "batch_stats": stats}, x, train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], **kw,
             )
             return out, mut["batch_stats"]
 
@@ -132,7 +164,8 @@ class RCAGANTrainer:
             return out
 
         def d_step(state: GANTrainState, key, degraded, gt):
-            fake, new_gstats = gen_fwd(state.g_params, state.g_stats, degraded)
+            kf, key = jax.random.split(key)
+            fake, new_gstats = gen_fwd(state.g_params, state.g_stats, degraded, kf)
             fake = jax.lax.stop_gradient(fake)
 
             def loss_fn(d_params):
@@ -163,14 +196,16 @@ class RCAGANTrainer:
             )
 
         def g_step(state: GANTrainState, key, degraded, gt, vgg_params):
+            kf, key = jax.random.split(key)
+
             def loss_fn(g_params):
-                fake, new_gstats = gen_fwd(g_params, state.g_stats, degraded)
+                fake, new_gstats = gen_fwd(g_params, state.g_stats, degraded, kf)
                 total, parts = multimodal_loss(
                     lambda p, x: vgg.apply(p, x), vgg_params,
                     lambda p, x: d_apply_frozen(p, state.d_stats, x), state.d_params,
                     key, fake, gt,
                     lambda1=self.lambda_pixel, lambda2=self.lambda_perceptual,
-                    lambda3=self.lambda_texture, lambda4=1.0, lambda_gp=lam_gp,
+                    lambda3=self.lambda_texture, lambda4=self.lambda_adv, lambda_gp=lam_gp,
                 )
                 return total, (new_gstats, parts)
 
@@ -195,27 +230,45 @@ class RCAGANTrainer:
             # (perceptual + content + texture + WGAN-GP adversarial), not plain L1.
             # D batch-stats handling matches d_apply_frozen (documented deviation:
             # torch updates D running stats during no_grad val; we discard them).
+            kf, key = jax.random.split(key)
             fake = gen.apply(
                 {"params": state.g_params, "batch_stats": state.g_stats},
-                degraded, train=False,
+                degraded, train=False, **({"key": kf} if takes_key else {}),
             )
             total, _ = multimodal_loss(
                 lambda p, x: vgg.apply(p, x), vgg_params,
                 lambda p, x: d_apply_frozen(p, state.d_stats, x), state.d_params,
                 key, fake, gt,
                 lambda1=self.lambda_pixel, lambda2=self.lambda_perceptual,
-                lambda3=self.lambda_texture, lambda4=1.0, lambda_gp=lam_gp,
+                lambda3=self.lambda_texture, lambda4=self.lambda_adv, lambda_gp=lam_gp,
             )
             return total
 
         self._jit_d_step = jax.jit(d_step, donate_argnums=(0,))
         self._jit_g_step = jax.jit(g_step, donate_argnums=(0,))
         self._jit_val_loss = jax.jit(val_loss)
-        self._jit_gen_eval = jax.jit(
-            lambda params, stats, x: gen.apply(
-                {"params": params, "batch_stats": stats}, x, train=False
+        if takes_key:
+            # the hybrid's eval forward is stochastic (q_sample draw), exactly as
+            # torch .eval() leaves the reference's randomness live
+            self._jit_gen_eval = jax.jit(
+                lambda params, stats, x, key: gen.apply(
+                    {"params": params, "batch_stats": stats}, x, key, train=False
+                )
             )
-        )
+        else:
+            self._jit_gen_eval = jax.jit(
+                lambda params, stats, x: gen.apply(
+                    {"params": params, "batch_stats": stats}, x, train=False
+                )
+            )
+
+    def generate(self, state, x, key=None):
+        """Eval-mode generator forward; ``key`` is required for (and only used by)
+        key-taking generators such as the C17 hybrid."""
+        if self._gen_takes_key:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            return self._jit_gen_eval(state.g_params, state.g_stats, x, key)
+        return self._jit_gen_eval(state.g_params, state.g_stats, x)
 
     def train_epoch(self, state, train_loader, key, epoch: int, log_every: int = 10):
         d_losses, g_losses = [], []
@@ -317,4 +370,63 @@ def train_rca_gan(
         sample_batch = next(iter(val_loader))[0]
     trainer.disc_input_hw = sample_batch.shape[1]
     state = trainer.init(jax.random.PRNGKey(0), sample_batch, steps_per_epoch=len(train_loader))
+    return trainer.fit(state, train_loader, val_loader, num_epochs)
+
+
+def weights_init_normal(params, key):
+    """The hybrid module's init (experimental_diffusion_gan.py:405-411): conv kernels
+    ~ N(0, 0.02); BatchNorm scale ~ N(1, 0.02), BatchNorm bias = 0.  Linear layers and
+    conv biases are untouched (the reference only matches 'Conv' / 'BatchNorm' class
+    names).  Applied to a flax param tree: 4-D "kernel" leaves are conv kernels;
+    leaves under a "stats" module are BatchNorm scale/bias."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    keys = jax.random.split(key, len(flat))
+    out = {}
+
+    def assign(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p.key, {})
+        node[path[-1].key] = value
+
+    for (path, leaf), k in zip(flat, keys):
+        names = [p.key for p in path]
+        if names[-1] == "kernel" and leaf.ndim == 4:
+            leaf = 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        elif "stats" in names and names[-1] == "scale":
+            leaf = 1.0 + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        elif "stats" in names and names[-1] == "bias":
+            leaf = jnp.zeros_like(leaf)
+        assign(out, path, leaf)
+    return out
+
+
+def train_rca_gan_diffusion(
+    train_loader, val_loader, num_epochs=200, lambda_pixel=1.0,
+    lambda_perceptual=0.01, lambda_texture=0.001, lr=5e-5, betas=(0.5, 0.999),
+    checkpoint_dir="checkpoints", sample_batch=None, writer=None,
+    num_timesteps=1000,
+):
+    """C17 entry: the diffusion-GAN hybrid's ``train_rca_gan`` variant
+    (experimental_diffusion_gan.py:390-395 — GeneratorWithDiffusion(1, 1) against the
+    same RCA-GAN Discriminator, MultimodalLoss(D, λpix, λperc, λtex, 1), Adam G/D +
+    StepLR(10, 0.5), defaults (200, 1, 0.01, 0.001, 5e-5, (0.5, 0.999))); both nets
+    re-initialized with ``weights_init_normal`` (:405-414)."""
+    from ..models.experimental import GeneratorWithDiffusion
+
+    trainer = RCAGANTrainer(
+        generator=GeneratorWithDiffusion(1, 1, num_timesteps=num_timesteps),
+        lambda_pixel=lambda_pixel, lambda_perceptual=lambda_perceptual,
+        lambda_texture=lambda_texture, lr=lr, betas=betas,
+        checkpoint_dir=checkpoint_dir, writer=writer,
+    )
+    if sample_batch is None:
+        sample_batch = next(iter(val_loader))[0]
+    trainer.disc_input_hw = sample_batch.shape[1]
+    state = trainer.init(jax.random.PRNGKey(0), sample_batch, steps_per_epoch=len(train_loader))
+    ki, kd = jax.random.split(jax.random.PRNGKey(1))
+    state = state.replace(
+        g_params=weights_init_normal(state.g_params, ki),
+        d_params=weights_init_normal(state.d_params, kd),
+    )
     return trainer.fit(state, train_loader, val_loader, num_epochs)
