@@ -99,6 +99,27 @@ def test_discriminator_param_count_matches_reference_fc():
     assert fc0.shape == (262144, 1024)
 
 
+def test_discriminator_critic_norm_variants():
+    """The WGAN-GP ablation knobs: norm='bn' (reference) keeps the exact .pth
+    param names; 'none' drops normalization params entirely; 'layernorm' swaps
+    in LN scale/bias.  Forward stays finite for all three."""
+    x = jnp.array(_rand(2, 32, 32, 1)) * 0.1
+    for norm, has_bn, has_ln in (("bn", True, False), ("none", False, False),
+                                 ("layernorm", False, True)):
+        d = Discriminator(1, norm=norm)
+        dv = d.init(jax.random.PRNGKey(0), x, train=False)
+        block0 = dv["params"]["conv_layers.0"]
+        assert ("bn" in block0) == has_bn, (norm, list(block0))
+        assert ("ln" in block0) == has_ln, (norm, list(block0))
+        assert ("batch_stats" in dv) == has_bn
+        if norm == "bn":  # .pth mapping unchanged for the reference arch
+            assert set(block0["bn"]["stats"]) == {"scale", "bias"}
+        out = d.apply(dv, x, train=False)
+        assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+        Discriminator(1, norm="weightnorm").init(jax.random.PRNGKey(0), x, train=False)
+
+
 def test_gram_matrix_matches_torch_reference():
     x = _rand(2, 4, 6, 3)  # NHWC
     g = np.asarray(gram_matrix(jnp.array(x)))

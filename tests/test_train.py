@@ -338,6 +338,24 @@ def test_biased_timestep_sampling_distribution():
     assert abs(tu.mean() - 10.0) < 0.5
 
 
+def test_diffusion_loss_weights_are_plumbed():
+    """combined_loss weights (diffusion_RDUnet.py:60-65) reach the jitted step:
+    (0,1,0) reproduces the default exactly; adding mse+ssim changes the loss."""
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3).astype(np.float32)) * 0.1
+    clean = x * 0.9
+    losses = {}
+    for name, lw in (("default", None), ("explicit", (0.0, 1.0, 0.0)),
+                     ("mixed", (1.0, 1.0, 0.5))):
+        kw = {} if lw is None else {"loss_weights": lw}
+        tr = DiffusionTrainer(base_filters=4, timesteps=4, accumulation_steps=1, **kw)
+        state = tr.init(jax.random.PRNGKey(0), x, steps_per_epoch=2)
+        _, loss = tr._jit_step(state, jax.random.PRNGKey(1), x, clean)
+        losses[name] = float(loss)
+    assert losses["default"] == losses["explicit"]
+    assert losses["mixed"] != losses["default"]
+    assert np.isfinite(losses["mixed"])
+
+
 def test_small_batch_accumulation_never_nans():
     """Batch smaller than accumulation_steps must degrade gracefully, not produce
     empty micro-batches (0/0 = NaN poisoning params) — regression for the
