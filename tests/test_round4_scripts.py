@@ -1,0 +1,79 @@
+"""Round-4 script surfaces: the artifact-of-record manifest and the diffusion
+quality-gap stage-2 promotion (VERDICT r3 items #4 and #6).
+
+These are host-side drivers (no device work), so the tests run them directly.
+"""
+
+import json
+import os
+import shlex
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import regen_artifacts  # noqa: E402
+import run_diffusion_gap_stage2 as stage2  # noqa: E402
+
+
+def test_regen_manifest_commands_reference_existing_scripts():
+    """Every regeneration command must start with a script that exists in-repo
+    (a manifest row whose command rots is worse than no manifest)."""
+    assert regen_artifacts.MANIFEST, "manifest must not be empty"
+    names = [e[0] for e in regen_artifacts.MANIFEST]
+    assert len(names) == len(set(names)), "duplicate manifest names"
+    for name, path, cmd, cost, row in regen_artifacts.MANIFEST:
+        argv = shlex.split(cmd)
+        assert argv[0] == "python", (name, cmd)
+        assert os.path.exists(os.path.join(REPO, argv[1])), (
+            f"manifest entry {name!r} cites missing script {argv[1]}")
+        assert row, f"manifest entry {name!r} must cite its BASELINE.md row"
+
+
+def test_regen_check_reports_live_and_missing(capsys):
+    rows = regen_artifacts.check()
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["live"] + len(summary["missing"]) == len(rows)
+    # the s25 checkpoint is regenerated each round and backs torch-parity
+    by_name = {r["name"]: r for r in rows}
+    assert "s25" in by_name
+
+
+def test_regen_unknown_name_exits():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        regen_artifacts.regen(["definitely-not-a-manifest-entry"])
+
+
+def test_stage2_picks_best_gap_row_and_builds_command(tmp_path):
+    log = tmp_path / "log.jsonl"
+    rows = [
+        {"tag": "gap-base", "psnr_best_db": 26.1, "lr": 2e-4,
+         "loss_weights": "0,1,0", "t_dist": "uniform",
+         "timesteps": 20, "base_filters": 32},
+        {"tag": "gap-ssim", "psnr_best_db": 27.3, "lr": 2e-4,
+         "loss_weights": "0,1,0.3", "t_dist": "uniform",
+         "timesteps": 20, "base_filters": 32},
+        # a completed stage-2 row must never be re-picked as its own winner
+        {"tag": "gap-stage2", "psnr_best_db": 99.0},
+        # non-gap rows (ablations etc.) are ignored
+        {"tag": "ablate64", "psnr_best_db": 50.0},
+    ]
+    log.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    best = stage2.pick_winner(str(log))
+    assert best["tag"] == "gap-ssim"
+    cmd = stage2.stage2_command(best)
+    assert "--loss-weights" in cmd and cmd[cmd.index("--loss-weights") + 1] == "0,1,0.3"
+    assert cmd[cmd.index("--tag") + 1] == "gap-stage2"
+    assert cmd[cmd.index("--epochs") + 1] == "200"
+
+
+def test_stage2_exits_without_stage1_rows(tmp_path):
+    import pytest
+
+    log = tmp_path / "empty.jsonl"
+    log.write_text(json.dumps({"tag": "gap-stage2", "psnr_best_db": 1.0}) + "\n")
+    with pytest.raises(SystemExit):
+        stage2.pick_winner(str(log))
