@@ -94,6 +94,22 @@ MANIFEST = [
         "~10 min",
         "C13 search study on hardware (4-trial demo row)",
     ),
+    (
+        "gan_search_tpu",
+        "runs/gan_trial_results_tpu.csv",
+        "python scripts/run_gan_search_tpu.py --trials 8 --epochs 5",
+        "~10 min",
+        "C16 GAN search: 8 trials / 5 pruned / best val L1 0.0621",
+    ),
+    (
+        "search_ref_scale",
+        "runs/trial_results_tpu_ref_scale.csv",
+        "python scripts/run_search_tpu.py --trials 25 --epochs 5 --size 256 "
+        "--n-train 256 --n-val 16 --batch-size 16 --engine xla --bf16 "
+        "--csv runs/trial_results_tpu_ref_scale.csv",
+        "~2-3 h",
+        "C13 search at reference scale (25 trials x 5 epochs, 256^2)",
+    ),
 ]
 
 
