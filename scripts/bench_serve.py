@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_load(base: str, payload: bytes, clients: int, seconds: float):
+def run_load(base: str, payload: bytes, clients: int, seconds: float,
+             headers=None):
     stop = time.monotonic() + seconds
     counts = [0] * clients
     errors = [0] * clients
@@ -32,7 +33,8 @@ def run_load(base: str, payload: bytes, clients: int, seconds: float):
     def loop(i):
         while time.monotonic() < stop:
             req = urllib.request.Request(f"{base}/denoise", data=payload,
-                                         method="POST")
+                                         method="POST",
+                                         headers=dict(headers or {}))
             try:
                 with urllib.request.urlopen(req, timeout=300) as r:
                     r.read()
@@ -70,6 +72,9 @@ def main():
     p.add_argument("--batch-wait-ms", type=float, default=5.0)
     p.add_argument("--trusted-checkpoint", action="store_true")
     p.add_argument("--out", default="", help="write the sweep table as JSON")
+    p.add_argument("--raw", action="store_true",
+                   help="also measure the codec-free octet-stream mode "
+                        "(raw uint8 in/out — no PNG codec on either side)")
     args = p.parse_args()
 
     from PIL import Image
@@ -131,17 +136,26 @@ def main():
             warm_rps, _ = run_load(base, payload, mb, 10.0)
             print(f"  (max_batch {mb} bucket warmup pass: {warm_rps:.2f} req/s)")
 
+        raw_headers = {"Content-Type": "application/octet-stream",
+                       "X-Shape": f"{args.size},{args.size},3",
+                       "Accept": "application/octet-stream"}
+        modes = [("png", payload, None)]
+        if args.raw:
+            modes.append(("raw", arr.tobytes(), raw_headers))
         for clients in client_grid:
-            rps, errs = run_load(base, payload, clients, args.seconds)
-            stats = dict(getattr(service, "stats", {}))
-            phases = phase_summary(service)
-            row = {"max_batch": mb, "clients": clients,
-                   "req_per_s": round(rps, 2), "errors": errs,
-                   "batching": stats, "phases": phases}
-            results.append(row)
-            ph = "  ".join(f"{k} {v['mean_ms']:.1f}ms" for k, v in phases.items())
-            print(f"max_batch {mb:3d} clients {clients:3d}: {rps:7.2f} req/s "
-                  f"errors={errs}  [{ph}]", flush=True)
+            for mode, body, hdrs in modes:
+                rps, errs = run_load(base, body, clients, args.seconds,
+                                     headers=hdrs)
+                stats = dict(getattr(service, "stats", {}))
+                phases = phase_summary(service)
+                row = {"max_batch": mb, "clients": clients, "mode": mode,
+                       "req_per_s": round(rps, 2), "errors": errs,
+                       "batching": stats, "phases": phases}
+                results.append(row)
+                ph = "  ".join(f"{k} {v['mean_ms']:.1f}ms"
+                               for k, v in phases.items())
+                print(f"max_batch {mb:3d} clients {clients:3d} {mode}: "
+                      f"{rps:7.2f} req/s errors={errs}  [{ph}]", flush=True)
         server.shutdown()
         if hasattr(service, "close"):
             service.close()

@@ -81,8 +81,13 @@ def main():
     study = run_search(train_loader, val_loader, n_trials=args.trials,
                        num_epochs=args.epochs, csv_path=args.csv,
                        trainer_kwargs=trainer_kwargs)
-    print(f"search wall: {time.time() - t0:.0f}s; best -psnr "
-          f"{study.best_trial.value:.3f}; csv -> {args.csv}", flush=True)
+    pruned = sum(1 for t in study.trials if t.value is None)
+    done = len(study.trials) - pruned
+    best = study.best_trial
+    print(f"search wall: {time.time() - t0:.0f}s; trials {len(study.trials)} "
+          f"({done} completed, {pruned} pruned); best -psnr "
+          f"{best.value:.3f}; best params {best.params}; csv -> {args.csv}",
+          flush=True)
 
 
 if __name__ == "__main__":

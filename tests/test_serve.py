@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -69,6 +70,67 @@ def test_serve_denoise_roundtrip(tmp_path):
         # phase walls must roughly reassemble the request wall
         total = sum(phases[k]["total_s"] for k in phases)
         assert total <= health["latency"]["total_s"] + 0.05
+    finally:
+        server.shutdown()
+
+
+def test_serve_raw_octet_stream_matches_png_path(tmp_path):
+    """The codec-free raw mode (octet-stream in / out) must produce byte-
+    identical results to the PNG path, echo X-Shape, and reject malformed
+    raw requests with 400."""
+    from PIL import Image
+
+    server, base, denoise_fn = _start_server(tmp_path)
+    try:
+        arr = np.random.RandomState(1).randint(0, 256, (32, 24, 3), np.uint8)
+
+        # PNG in -> PNG out (the baseline)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        req = urllib.request.Request(f"{base}/denoise", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            want = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        # raw in -> raw out
+        req = urllib.request.Request(
+            f"{base}/denoise", data=arr.tobytes(), method="POST",
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "32,24,3",
+                     "Accept": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            assert r.headers["X-Shape"] == "32,24,3"
+            got = np.frombuffer(r.read(), np.uint8).reshape(32, 24, 3)
+        np.testing.assert_array_equal(got, want)
+
+        # raw in -> PNG out (modes mix freely)
+        req = urllib.request.Request(
+            f"{base}/denoise", data=arr.tobytes(), method="POST",
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "32,24,3"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            got_png = np.asarray(Image.open(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(got_png, want)
+
+        # malformed: missing / bad X-Shape, wrong body size, wrong channels
+        for headers, body in [
+            ({"Content-Type": "application/octet-stream"}, arr.tobytes()),
+            ({"Content-Type": "application/octet-stream",
+              "X-Shape": "32,24"}, arr.tobytes()),
+            ({"Content-Type": "application/octet-stream",
+              "X-Shape": "32,24,3"}, arr.tobytes()[:-1]),
+            ({"Content-Type": "application/octet-stream",
+              "X-Shape": "32,24,1"}, arr.tobytes()[: 32 * 24]),
+        ]:
+            req = urllib.request.Request(f"{base}/denoise", data=body,
+                                         method="POST", headers=headers)
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                raise AssertionError(f"expected 400 for {headers}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (headers, e.code)
     finally:
         server.shutdown()
 

@@ -13,6 +13,13 @@ Endpoints:
   POST /denoise    -> image bytes (PNG/JPEG) in, denoised PNG out.
                       The channel mode (RGB vs grayscale) is fixed at server
                       start (--grayscale); inputs are converted to it.
+                      Codec-free raw mode for throughput clients (PNG codec
+                      is pure host-CPU cost — the measured serving bottleneck
+                      on 1-core VMs): send Content-Type:
+                      application/octet-stream + X-Shape: H,W,C with raw
+                      uint8 HWC bytes, and/or Accept:
+                      application/octet-stream to get raw uint8 back
+                      (response echoes X-Shape).  Mix freely with PNG.
 
 Error mapping: undecodable input -> 400; queue at capacity or service
 shutting down -> 503 (with Retry-After, so a balancer retries elsewhere);
@@ -129,31 +136,60 @@ class DenoiseService:
         self.phases["device"].record(time.monotonic() - t1)
         return y
 
-    def denoise_bytes(self, payload: bytes) -> bytes:
-        from PIL import Image
+    def denoise_bytes(self, payload: bytes, raw_shape=None,
+                      raw_out: bool = False) -> bytes:
+        """PNG in/out by default; ``raw_shape=(H, W, C)`` treats ``payload`` as
+        raw uint8 HWC bytes and ``raw_out`` returns raw uint8 bytes — the
+        codec-free path for throughput clients (PNG encode/decode is pure
+        host-CPU cost on the serving VM; see the /healthz phase breakdown)."""
+        return self.denoise_request(payload, raw_shape, raw_out)[0]
 
+    def denoise_request(self, payload: bytes, raw_shape=None,
+                        raw_out: bool = False):
+        """Full-fidelity entry: returns ``(body, out_shape)`` so the HTTP
+        handler can echo ``X-Shape`` on raw responses."""
         t0 = time.monotonic()
-        try:
-            img = Image.open(io.BytesIO(payload))
-            img = img.convert("L") if self.grayscale else img.convert("RGB")
-        except Exception as e:
-            raise BadRequestError(f"cannot decode image: {e}") from e
-        arr = np.asarray(img, np.uint8)
-        if arr.ndim == 2:
-            arr = arr[..., None]
+        if raw_shape is not None:
+            h, w, c = raw_shape
+            want = 1 if self.grayscale else 3
+            if c != want:
+                raise BadRequestError(
+                    f"X-Shape channels {c} != served model channels {want}")
+            if len(payload) != h * w * c:
+                raise BadRequestError(
+                    f"raw body is {len(payload)} bytes, X-Shape {h},{w},{c} "
+                    f"needs {h * w * c}")
+            arr = np.frombuffer(payload, np.uint8).reshape(h, w, c)
+        else:
+            from PIL import Image
+
+            try:
+                img = Image.open(io.BytesIO(payload))
+                img = img.convert("L") if self.grayscale else img.convert("RGB")
+            except Exception as e:
+                raise BadRequestError(f"cannot decode image: {e}") from e
+            arr = np.asarray(img, np.uint8)
+            if arr.ndim == 2:
+                arr = arr[..., None]
         x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # Normalize(0.5, 0.5)
         t1 = time.monotonic()
         self.phases["decode"].record(t1 - t0)
         y = self._denoise_array(x)
         t2 = time.monotonic()
         out = np.clip((y + 1.0) * 0.5 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
-            buf, format="PNG"
-        )
+        if raw_out:
+            body = out.tobytes()
+        else:
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
+                buf, format="PNG"
+            )
+            body = buf.getvalue()
         self.phases["encode"].record(time.monotonic() - t2)
         self.latency.record(time.monotonic() - t0)
-        return buf.getvalue()
+        return body, tuple(out.shape)
 
     def snapshot(self) -> dict:
         """Consistent /healthz payload (takes the metadata lock — the request
@@ -356,8 +392,27 @@ def make_handler(service: DenoiseService, info: dict):
                 self._send(400, b"empty body", "text/plain")
                 return
             payload = self.rfile.read(length)
+            # codec-free path: raw uint8 HWC body via Content-Type:
+            # application/octet-stream + X-Shape: H,W,C; raw response via
+            # Accept: application/octet-stream (X-Shape echoed back)
+            raw_shape = None
+            ctype_hdr = (self.headers.get("Content-Type") or "").lower()
+            if ctype_hdr.startswith("application/octet-stream"):
+                try:
+                    raw_shape = tuple(
+                        int(v) for v in
+                        (self.headers.get("X-Shape") or "").split(","))
+                    if len(raw_shape) != 3:
+                        raise ValueError
+                except ValueError:
+                    self._send(400, b"octet-stream body needs X-Shape: H,W,C",
+                               "text/plain")
+                    return
+            raw_out = "application/octet-stream" in (
+                self.headers.get("Accept") or "").lower()
             try:
-                out = service.denoise_bytes(payload)
+                out, out_shape = service.denoise_request(
+                    payload, raw_shape=raw_shape, raw_out=raw_out)
             except BadRequestError as e:
                 self._send(400, str(e).encode(), "text/plain")
                 return
@@ -375,7 +430,15 @@ def make_handler(service: DenoiseService, info: dict):
                 # internal inference fault as retriable, not a bad request
                 self._send(500, f"denoise failed: {e}".encode(), "text/plain")
                 return
-            self._send(200, out, "image/png")
+            if raw_out:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Shape", ",".join(map(str, out_shape)))
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            else:
+                self._send(200, out, "image/png")
 
     return Handler
 
