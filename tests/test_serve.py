@@ -379,3 +379,46 @@ def test_backpressure_rejects_with_503_and_latency_percentiles(tmp_path):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_prewarm_compiles_all_buckets_and_reset_stats_zeroes_windows(tmp_path):
+    """prewarm() must touch every power-of-two batch bucket (the complete
+    executable set for one shape — benchmarks rely on this so no compile can
+    land inside a timed window), and reset_stats() must zero the latency,
+    phase, and batching counters without losing the warm executables."""
+    from vub_image_denoising_tpu.eval.serve import BatchingDenoiseService
+
+    sizes = []
+
+    def fake_batch_fn(x):
+        sizes.append(x.shape[0])
+        return x
+
+    service = BatchingDenoiseService(fake_batch_fn, max_batch=8,
+                                     max_wait_ms=0.0)
+    try:
+        service.prewarm((6, 6, 3))
+        assert sizes == [1, 2, 4, 8]
+
+        # run one real request through, then reset
+        y = service._denoise_array(np.zeros((6, 6, 3), np.float32))
+        assert y.shape == (6, 6, 3)
+        snap = service.snapshot()
+        assert snap["batching"]["requests"] == 1
+        assert snap["phases"]["device"]["n"] == 1
+
+        service.reset_stats()
+        snap = service.snapshot()
+        assert snap["batching"] == {"requests": 0, "batches": 0,
+                                    "batched_requests": 0, "rejected": 0}
+        assert snap["latency"] == {"n": 0}
+        assert snap["phases"]["device"] == {"n": 0}
+
+        # the single-dispatch service prewarm: exactly one call, HWC-shaped
+        single_calls = []
+        plain = DenoiseService(lambda x: (single_calls.append(x.shape), x)[1])
+        plain.prewarm((6, 6, 3))
+        assert single_calls == [(6, 6, 3)]
+        plain.reset_stats()  # must not require batching counters
+    finally:
+        service.close()

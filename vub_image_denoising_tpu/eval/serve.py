@@ -86,6 +86,12 @@ class _LatencyWindow:
             self._total += seconds
             self._count += 1
 
+    def reset(self):
+        with self._lock:
+            self._samples.clear()
+            self._total = 0.0
+            self._count = 0
+
     def percentiles(self):
         with self._lock:
             if not self._samples:
@@ -200,6 +206,30 @@ class DenoiseService:
         payload["phases"] = {k: w.percentiles() for k, w in self.phases.items()}
         return payload
 
+    def reset_stats(self):
+        """Zero the latency/phase windows (and batching counters).
+
+        Benchmarks call this between the warmup and the timed window so
+        cold-compile time cannot pollute the phase attribution — a single
+        first-request XLA compile (~10-100 s) otherwise dwarfs every
+        steady-state sample in the totals."""
+        self.latency.reset()
+        for w in self.phases.values():
+            w.reset()
+        with self._meta:
+            if hasattr(self, "stats"):
+                self.stats = {k: 0 for k in self.stats}
+
+    def prewarm(self, shape, dtype=np.float32):
+        """Compile every executable a request of HWC ``shape`` can hit.
+
+        The plain service has exactly one executable per input shape; the
+        batching subclass overrides this to walk all power-of-two batch
+        buckets.  Deterministic — unlike load-generated warmup, which only
+        compiles whatever bucket sizes the burst happens to form, leaving
+        the rest to compile inside the measurement window."""
+        self.denoise_fn(np.zeros(shape, dtype))
+
     def close(self):  # symmetric with BatchingDenoiseService
         pass
 
@@ -284,6 +314,17 @@ class BatchingDenoiseService(DenoiseService):
         with self._meta:
             payload["batching"] = dict(self.stats)
         return payload
+
+    def prewarm(self, shape, dtype=np.float32):
+        """Compile every power-of-two batch bucket for HWC ``shape``:
+        _run_batch rounds N up to a power of two, so buckets 1,2,4,...,
+        max_batch are the complete executable set for this shape."""
+        nb = 1
+        while True:
+            self.denoise_fn(np.zeros((nb,) + tuple(shape), dtype))
+            if nb >= self.max_batch:
+                break
+            nb *= 2
 
     # -- dispatcher side ---------------------------------------------------
     def _collect(self):
