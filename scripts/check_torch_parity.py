@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from train_tpu_accuracy import synth_images  # noqa: E402
+from train_tpu_accuracy import synth_train_val  # noqa: E402
 
 
 def main():
@@ -66,12 +66,10 @@ def main():
     enable_strict_precision()
 
     # --- the training run's exact held-out protocol -------------------------
-    rng = np.random.RandomState(0)
     print(f"regenerating protocol images ({args.n_train} train to advance RNG, "
           f"{args.n_val} val)...", flush=True)
     t0 = time.time()
-    synth_images(args.n_train, args.size, rng)  # discarded; advances rng
-    val_clean = synth_images(args.n_val, args.size, rng)
+    _, val_clean = synth_train_val(args.n_train, args.n_val, args.size)
     sig = jnp.full((len(val_clean),), args.sigma, jnp.float32)
     val_noisy_u8 = np.asarray(jax.device_get(add_gaussian_noise_u8(
         jax.random.PRNGKey(123), jnp.asarray(val_clean), sig

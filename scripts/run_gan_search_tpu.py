@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from train_tpu_accuracy import synth_images  # noqa: E402
+from train_tpu_accuracy import synth_train_val  # noqa: E402
 from train_tpu_gan_accuracy import PairLoader  # noqa: E402
 
 
@@ -46,11 +46,9 @@ def main():
 
     enable_compilation_cache()
 
-    rng = np.random.RandomState(0)
-    train_gt = synth_images(args.n_train, args.size, rng).mean(
-        axis=-1, keepdims=True).astype(np.uint8)
-    val_gt = synth_images(args.n_val, args.size, rng).mean(
-        axis=-1, keepdims=True).astype(np.uint8)
+    train_rgb, val_rgb = synth_train_val(args.n_train, args.n_val, args.size)
+    train_gt = train_rgb.mean(axis=-1, keepdims=True).astype(np.uint8)
+    val_gt = val_rgb.mean(axis=-1, keepdims=True).astype(np.uint8)
 
     def degrade(gt_u8, key):
         sig = jnp.full((len(gt_u8),), args.sigma, jnp.float32)

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from train_tpu_accuracy import synth_images  # noqa: E402
+from train_tpu_accuracy import synth_train_val  # noqa: E402
 from train_tpu_gan_accuracy import PairLoader  # noqa: E402  (fixed uint8 pairs)
 
 
@@ -56,9 +56,7 @@ def main():
 
     enable_compilation_cache()
 
-    rng = np.random.RandomState(0)
-    train_gt = synth_images(args.n_train, args.size, rng)
-    val_gt = synth_images(args.n_val, args.size, rng)
+    train_gt, val_gt = synth_train_val(args.n_train, args.n_val, args.size)
 
     def degrade(gt_u8, key):
         sig = jnp.full((len(gt_u8),), args.sigma, jnp.float32)

@@ -57,6 +57,30 @@ def synth_images(n, size, rng):
     return imgs
 
 
+def synth_train_val(n_train, n_val, size, seed=0,
+                    cache_dir="runs/synth_cache"):
+    """Deterministic (train, val) synthetic pair with an on-disk cache.
+
+    Generation is pure CPU (scipy gaussian_filter) and costs ~3 min at
+    2048x256^2 — sweep scripts re-generate the identical arrays for every
+    config, so cache the pair keyed by the full RNG recipe.  The two calls
+    share one RandomState, so the val set depends on the train draw; the
+    cache stores both together to preserve that coupling."""
+    path = os.path.join(cache_dir, f"synth_{seed}_{size}_{n_train}_{n_val}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["train"], z["val"]
+    rng = np.random.RandomState(seed)
+    train = synth_images(n_train, size, rng)
+    val = synth_images(n_val, size, rng)
+    os.makedirs(cache_dir, exist_ok=True)
+    # keep the .npz suffix LAST — np.savez appends one otherwise
+    tmp = f"{path[:-4]}.{os.getpid()}.tmp.npz"
+    np.savez_compressed(tmp, train=train, val=val)
+    os.replace(tmp, path)  # atomic: concurrent writers cannot torn-read
+    return train, val
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("supervised", "diffusion"), default="supervised")
@@ -136,12 +160,10 @@ def main():
     from vub_image_denoising_tpu.models import RDUNet
     from vub_image_denoising_tpu.train import DiffusionTrainer, SupervisedTrainer
 
-    rng = np.random.RandomState(0)
     print(f"generating {args.n_train}+{args.n_val} synthetic {args.size}^2 images...",
           flush=True)
     t0 = time.time()
-    train_clean = synth_images(args.n_train, args.size, rng)
-    val_clean = synth_images(args.n_val, args.size, rng)
+    train_clean, val_clean = synth_train_val(args.n_train, args.n_val, args.size)
     print(f"  done in {time.time() - t0:.0f}s", flush=True)
 
     class CleanDS:

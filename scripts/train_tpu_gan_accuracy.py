@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from train_tpu_accuracy import synth_images  # noqa: E402  (same content recipe)
+from train_tpu_accuracy import synth_train_val  # noqa: E402  (same content recipe)
 
 
 class PairLoader:
@@ -94,15 +94,13 @@ def main():
 
     enable_compilation_cache()
 
-    rng = np.random.RandomState(0)
     print(f"generating {args.n_train}+{args.n_val} synthetic {args.size}^2 "
           "grayscale images...", flush=True)
     t0 = time.time()
     # grayscale = luma of the RGB recipe (the paper GANs train on 1-channel pairs)
-    train_gt = synth_images(args.n_train, args.size, rng).mean(
-        axis=-1, keepdims=True).astype(np.uint8)
-    val_gt = synth_images(args.n_val, args.size, rng).mean(
-        axis=-1, keepdims=True).astype(np.uint8)
+    train_rgb, val_rgb = synth_train_val(args.n_train, args.n_val, args.size)
+    train_gt = train_rgb.mean(axis=-1, keepdims=True).astype(np.uint8)
+    val_gt = val_rgb.mean(axis=-1, keepdims=True).astype(np.uint8)
     print(f"  done in {time.time() - t0:.0f}s", flush=True)
 
     # FIXED degraded pairs (quantized-uint8 noise, the C1 model)
