@@ -116,9 +116,15 @@ class DenoiseService:
     two paths cannot drift.
     """
 
-    def __init__(self, denoise_fn, grayscale: bool = False):
+    def __init__(self, denoise_fn, grayscale: bool = False,
+                 png_compress_level: int = 1):
         self.denoise_fn = denoise_fn
         self.grayscale = grayscale
+        # PNG encode is pure host-CPU serving cost (measured 41 ms/256² at
+        # Pillow's default level 6 on the 1-core VM); level 1 encodes ~4x
+        # faster for ~+40% bytes on smooth (denoised) content — the right
+        # default for a throughput server.  Archival clients can ask for 6+.
+        self.png_compress_level = int(png_compress_level)
         self._lock = threading.Lock()  # serializes device dispatch
         self._meta = threading.Lock()  # guards shapes_seen / stats vs /healthz
         self.shapes_seen = set()
@@ -190,7 +196,7 @@ class DenoiseService:
 
             buf = io.BytesIO()
             Image.fromarray(out[..., 0] if out.shape[-1] == 1 else out).save(
-                buf, format="PNG"
+                buf, format="PNG", compress_level=self.png_compress_level
             )
             body = buf.getvalue()
         self.phases["encode"].record(time.monotonic() - t2)
@@ -268,8 +274,9 @@ class BatchingDenoiseService(DenoiseService):
 
     def __init__(self, batch_denoise_fn, grayscale: bool = False,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 max_queue: int = 256):
-        super().__init__(batch_denoise_fn, grayscale=grayscale)
+                 max_queue: int = 256, png_compress_level: int = 1):
+        super().__init__(batch_denoise_fn, grayscale=grayscale,
+                         png_compress_level=png_compress_level)
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.max_queue = int(max_queue)
@@ -516,6 +523,10 @@ def main(argv=None):
                    help="linger this long for a request burst before dispatch")
     p.add_argument("--max-queue", type=int, default=256,
                    help="reject (HTTP 503) when this many requests are queued")
+    p.add_argument("--png-compress-level", type=int, default=1,
+                   help="Pillow PNG compress_level for responses (0-9; 1 "
+                        "encodes ~4x faster than the codec default 6 for "
+                        "~+40%% bytes — the throughput-serving default)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
     args = p.parse_args(argv)
@@ -533,9 +544,11 @@ def main(argv=None):
             denoise_fn, grayscale=args.grayscale,
             max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms,
             max_queue=args.max_queue,
+            png_compress_level=args.png_compress_level,
         )
     else:
-        service = DenoiseService(denoise_fn, grayscale=args.grayscale)
+        service = DenoiseService(denoise_fn, grayscale=args.grayscale,
+                                 png_compress_level=args.png_compress_level)
     info = {
         "arch": args.arch,
         "base_filters": args.base_filters,
