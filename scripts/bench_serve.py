@@ -104,9 +104,11 @@ def main():
                       "mean_ms": v.get("mean_ms", 0.0), "n": v.get("n", 0)}
         return out
 
-    # sweep grid: max_batch=1 is the single-dispatch baseline
-    batch_grid = ([1] + [int(b) for b in args.max_batch_sweep.split(",")]
-                  if args.max_batch_sweep else [1, args.max_batch])
+    # sweep grid: max_batch=1 is the single-dispatch baseline (deduped —
+    # "--max-batch 1" must not build and measure the same config twice)
+    batch_grid = list(dict.fromkeys(
+        [1] + [int(b) for b in args.max_batch_sweep.split(",")]
+        if args.max_batch_sweep else [1, args.max_batch]))
     client_grid = ([int(c) for c in args.clients_sweep.split(",")]
                    if args.clients_sweep else [args.clients])
 

@@ -14,6 +14,7 @@ single chip) and skips artifacts that already exist unless ``--force``.
 """
 
 import argparse
+import glob
 import json
 import os
 import shlex
@@ -23,11 +24,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (name, artifact path, command, ~warm-cache minutes, BASELINE.md row)
+# (name, artifact path, liveness marker glob, command, ~warm-cache minutes,
+#  BASELINE.md row).  Liveness is the MARKER, not the directory: an
+#  interrupted run leaves the dir behind, and --regen all must not skip
+#  exactly the artifacts a reset truncated.
 MANIFEST = [
     (
         "s25",
         "runs/accuracy_ckpt_s25",
+        "runs/accuracy_ckpt_s25/rdunet_denoising.pth",
         "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
         "--sched-steps-per-epoch 100 --device-data --ckpt-dir runs/accuracy_ckpt_s25",
         "~20 min",
@@ -36,6 +41,7 @@ MANIFEST = [
     (
         "blind",
         "runs/accuracy_ckpt",
+        "runs/accuracy_ckpt/rdunet_denoising.pth",
         "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
         "--sched-steps-per-epoch 100 --device-data --sigma-list 10,20,30,40,50 "
         "--ckpt-dir runs/accuracy_ckpt",
@@ -45,6 +51,7 @@ MANIFEST = [
     (
         "flagship",
         "runs/accuracy_ckpt_flagship",
+        "runs/accuracy_ckpt_flagship/rdunet_denoising.pth",
         "python scripts/train_tpu_accuracy.py --base-filters 128 --epochs 150 "
         "--batch-size 8 --remat false --device-data "
         "--ckpt-dir runs/accuracy_ckpt_flagship",
@@ -54,6 +61,7 @@ MANIFEST = [
     (
         "flagship_blind",
         "runs/accuracy_ckpt_flagship_blind",
+        "runs/accuracy_ckpt_flagship_blind/rdunet_denoising.pth",
         "python scripts/train_tpu_accuracy.py --base-filters 128 --epochs 150 "
         "--batch-size 8 --remat false --device-data --sigma-list 10,20,30,40,50 "
         "--ckpt-dir runs/accuracy_ckpt_flagship_blind",
@@ -63,6 +71,7 @@ MANIFEST = [
     (
         "diffusion",
         "runs/accuracy_ckpt_diffusion",
+        "runs/accuracy_ckpt_diffusion/diffusion_RDUNet_model_checkpointed_epoch_*.pth",
         "python scripts/train_tpu_accuracy.py --algo diffusion --epochs 200 "
         "--batch-size 128 --n-train 2048 --lr 2e-4 --sched-steps-per-epoch 300 "
         "--device-data --ckpt-dir runs/accuracy_ckpt_diffusion",
@@ -72,6 +81,7 @@ MANIFEST = [
     (
         "gan_attention",
         "runs/accuracy_ckpt_gan_attention",
+        "runs/accuracy_ckpt_gan_attention/*_generator_*.pth",
         "python scripts/train_tpu_gan_accuracy.py --algo attention --epochs 40",
         "~5 min",
         "Attention-GAN: 29.87 dB best",
@@ -79,6 +89,7 @@ MANIFEST = [
     (
         "comparative_flagship",
         "runs/comparative_flagship",
+        "runs/comparative_flagship/*.png",
         "python scripts/run_comparative_suite.py "
         "--unet-ckpt runs/accuracy_ckpt_flagship_blind/rdunet_denoising.pth "
         "--unet-base-filters 128 --diffusion-ckpt "
@@ -90,6 +101,7 @@ MANIFEST = [
     (
         "search_tpu",
         "runs/trial_results_tpu.csv",
+        "runs/trial_results_tpu.csv",
         "python scripts/run_search_tpu.py --trials 4 --epochs 2",
         "~10 min",
         "C13 search study on hardware (4-trial demo row)",
@@ -97,12 +109,14 @@ MANIFEST = [
     (
         "gan_search_tpu",
         "runs/gan_trial_results_tpu.csv",
+        "runs/gan_trial_results_tpu.csv",
         "python scripts/run_gan_search_tpu.py --trials 8 --epochs 5",
         "~10 min",
         "C16 GAN search: 8 trials / 5 pruned / best val L1 0.0621",
     ),
     (
         "search_ref_scale",
+        "runs/trial_results_tpu_ref_scale.csv",
         "runs/trial_results_tpu_ref_scale.csv",
         "python scripts/run_search_tpu.py --trials 25 --epochs 5 --size 256 "
         "--n-train 256 --n-val 16 --batch-size 16 --engine xla --bf16 "
@@ -113,11 +127,14 @@ MANIFEST = [
 ]
 
 
+def _live(marker):
+    return bool(glob.glob(os.path.join(REPO, marker)))
+
+
 def check():
     rows = []
-    for name, path, cmd, cost, row in MANIFEST:
-        exists = os.path.exists(os.path.join(REPO, path))
-        rows.append({"name": name, "path": path, "exists": exists,
+    for name, path, marker, cmd, cost, row in MANIFEST:
+        rows.append({"name": name, "path": path, "exists": _live(marker),
                      "regen_cost": cost, "baseline_row": row})
     width = max(len(r["name"]) for r in rows)
     for r in rows:
@@ -132,9 +149,8 @@ def regen(names, force=False):
     todo = [e for e in MANIFEST if names == ["all"] or e[0] in names]
     if not todo:
         sys.exit(f"no manifest entries match {names}; known: {[e[0] for e in MANIFEST]}")
-    for name, path, cmd, cost, _ in todo:
-        full = os.path.join(REPO, path)
-        if os.path.exists(full) and not force:
+    for name, path, marker, cmd, cost, _ in todo:
+        if _live(marker) and not force:
             print(f"[skip] {name}: {path} exists (use --force to rebuild)")
             continue
         print(f"[regen] {name}: {cmd}  (expect {cost} warm-cache)", flush=True)

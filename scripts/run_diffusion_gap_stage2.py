@@ -18,12 +18,22 @@ import subprocess
 import sys
 
 
-def pick_winner(log_path):
+STAGE1_CONFIGS = 8  # run_diffusion_gap.sh trains exactly these
+
+
+def pick_winner(log_path, expected=STAGE1_CONFIGS):
     rows = [json.loads(l) for l in open(log_path) if l.strip()]
     gaps = [r for r in rows
             if (r.get("tag") or "").startswith("gap-") and r.get("tag") != "gap-stage2"]
     if not gaps:
         sys.exit(f"no stage-1 'gap-*' rows found in {log_path}")
+    if len(gaps) < expected:
+        # stage 1 has no set -e (a tunnel outage mid-sweep leaves a partial
+        # grid): proceed — a queued stage 2 should still run — but say so
+        # loudly so the promoted "winner" is read as best-of-partial
+        print(f"WARNING: only {len(gaps)}/{expected} stage-1 rows present "
+              f"({sorted(r['tag'] for r in gaps)}); promoting the best of a "
+              f"PARTIAL grid", flush=True)
     return max(gaps, key=lambda r: r["psnr_best_db"])
 
 

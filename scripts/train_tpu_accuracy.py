@@ -145,6 +145,14 @@ def main():
     )
     args = ap.parse_args()
 
+    # diffusion-only knobs must not silently label a supervised run as an
+    # ablation it never ran (the appended JSON record is the evidence of
+    # record); reject BEFORE any data generation / device work
+    if args.algo == "supervised" and (
+        args.loss_weights != "0,1,0" or args.t_dist != "uniform"
+    ):
+        sys.exit("--loss-weights/--t-dist only apply to --algo diffusion")
+
     import jax
     import jax.numpy as jnp
 

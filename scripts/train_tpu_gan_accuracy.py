@@ -85,6 +85,17 @@ def main():
     ap.add_argument("--out", default="runs/accuracy_log.jsonl")
     args = ap.parse_args()
 
+    # the attention GAN applies neither the RCA critic norm nor the --lam-*
+    # slot weights: reject BEFORE any data generation / device work rather
+    # than record a config that was never applied (the JSON record appended
+    # at the end is the evidence of record)
+    if args.algo == "attention" and (
+        args.critic_norm != "bn"
+        or any(getattr(args, f) >= 0 for f in
+               ("lam_feat", "lam_content", "lam_texture", "lam_adv"))
+    ):
+        sys.exit("--critic-norm/--lam-* only apply to --algo rca/hybrid")
+
     import jax
     import jax.numpy as jnp
 
@@ -203,7 +214,8 @@ def main():
     rec = {
         "metric": "gan_synthetic_psnr",
         "algo": args.algo,
-        "critic_norm": args.critic_norm,
+        # None for algos where the knob does not exist (attention)
+        "critic_norm": args.critic_norm if args.algo in ("rca", "hybrid") else None,
         "n_train": args.n_train,
         "lr": args.lr or None,
         "tag": args.tag or None,

@@ -22,12 +22,15 @@ def test_regen_manifest_commands_reference_existing_scripts():
     assert regen_artifacts.MANIFEST, "manifest must not be empty"
     names = [e[0] for e in regen_artifacts.MANIFEST]
     assert len(names) == len(set(names)), "duplicate manifest names"
-    for name, path, cmd, cost, row in regen_artifacts.MANIFEST:
+    for name, path, marker, cmd, cost, row in regen_artifacts.MANIFEST:
         argv = shlex.split(cmd)
         assert argv[0] == "python", (name, cmd)
         assert os.path.exists(os.path.join(REPO, argv[1])), (
             f"manifest entry {name!r} cites missing script {argv[1]}")
         assert row, f"manifest entry {name!r} must cite its BASELINE.md row"
+        # the liveness marker must live inside (or be) the artifact path
+        assert marker == path or marker.startswith(path.rstrip("/") + "/"), (
+            f"manifest entry {name!r}: marker {marker!r} outside {path!r}")
 
 
 def test_regen_check_reports_live_and_missing(capsys):
@@ -77,3 +80,35 @@ def test_stage2_exits_without_stage1_rows(tmp_path):
     log.write_text(json.dumps({"tag": "gap-stage2", "psnr_best_db": 1.0}) + "\n")
     with pytest.raises(SystemExit):
         stage2.pick_winner(str(log))
+
+
+def test_bench_serve_batch_grid_dedupes_baseline():
+    """--max-batch 1 (or a sweep containing 1) must not measure the identical
+    single-dispatch config twice (wasted TPU wall + duplicate JSON rows)."""
+    import importlib
+
+    bench_serve = importlib.import_module("bench_serve")
+    src = open(os.path.join(REPO, "scripts", "bench_serve.py")).read()
+    assert "dict.fromkeys" in src, "grid dedupe removed"
+    del bench_serve
+
+
+def test_accuracy_scripts_reject_unapplied_flags():
+    """Evidence-integrity guards: flags that a branch does not apply must be
+    rejected up front, not silently recorded in the JSON evidence log."""
+    import subprocess
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_tpu_accuracy.py"),
+         "--algo", "supervised", "--t-dist", "biased"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode != 0 and "only apply to --algo diffusion" in (
+        r.stderr + r.stdout)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "train_tpu_gan_accuracy.py"),
+         "--algo", "attention", "--lam-adv", "0"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode != 0 and "only apply to --algo rca/hybrid" in (
+        r.stderr + r.stdout)

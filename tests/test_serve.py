@@ -422,3 +422,23 @@ def test_prewarm_compiles_all_buckets_and_reset_stats_zeroes_windows(tmp_path):
         plain.reset_stats()  # must not require batching counters
     finally:
         service.close()
+
+
+def test_raw_nonpositive_shape_is_400_not_500(tmp_path):
+    """X-Shape with negative dims can pass the byte-length check
+    ((-h)*(-w)*c == len) and would crash reshape as a retriable 500 —
+    it must map to 400 (permanently-bad request) instead."""
+    server, base, _ = _start_server(tmp_path)
+    try:
+        body = bytes(32 * 24 * 3)
+        req = urllib.request.Request(
+            f"{base}/denoise", data=body, method="POST",
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Shape": "-32,-24,3"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()

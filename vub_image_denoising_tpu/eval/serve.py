@@ -163,6 +163,11 @@ class DenoiseService:
         t0 = time.monotonic()
         if raw_shape is not None:
             h, w, c = raw_shape
+            if h <= 0 or w <= 0 or c <= 0:
+                # a 400, not a 500: negative dims can pass the byte-length
+                # check ((-h)*(-w)*c) and crash reshape as a "server fault",
+                # which a balancer would retry forever
+                raise BadRequestError(f"X-Shape dims must be positive: {h},{w},{c}")
             want = 1 if self.grayscale else 3
             if c != want:
                 raise BadRequestError(

@@ -64,19 +64,13 @@ def run_gan_search(train_loader, val_loader, n_trials: int = 20,
     callbacks = []
     if csv_path:
 
+        from .hyperparams import save_trial_results
+
         def _save(_study, trial):
-            if trial.value is None:
-                return
-            import os
-
-            import pandas as pd
-
-            row = dict(trial.params)
-            row["val_l1"] = trial.value  # minimized directly (not a -PSNR)
-            df = pd.DataFrame([row])
-            if os.path.exists(csv_path):
-                df = pd.concat([pd.read_csv(csv_path), df], ignore_index=True)
-            df.to_csv(csv_path, index=False)
+            if trial.value is not None:
+                # minimized directly (val L1, not a -PSNR): negate=False
+                save_trial_results(trial, trial.value, csv_path,
+                                   value_column="val_l1", negate=False)
 
         callbacks.append(_save)
     study.optimize(

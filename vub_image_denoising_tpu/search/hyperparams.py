@@ -95,12 +95,16 @@ def objective(trial, train_loader, val_loader, num_epochs: int = 5,
     return -evaluate_trial_psnr(trainer, state, val_loader)
 
 
-def save_trial_results(trial, value, csv_path="trial_results.csv"):
-    """hyperparams_search.py:72-79."""
+def save_trial_results(trial, value, csv_path="trial_results.csv",
+                       value_column="psnr", negate=True):
+    """hyperparams_search.py:72-79.
+
+    ``value_column``/``negate`` let other studies share this read-merge-
+    rewrite logic (gan_search minimizes val L1 directly, no -PSNR flip)."""
     import pandas as pd
 
     row = dict(trial.params)
-    row["psnr"] = -value
+    row[value_column] = -value if negate else value
     df = pd.DataFrame([row])
     if os.path.exists(csv_path):
         # read-merge-rewrite instead of header-less append: trials can have

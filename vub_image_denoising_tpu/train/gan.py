@@ -379,26 +379,22 @@ def weights_init_normal(params, key):
     conv biases are untouched (the reference only matches 'Conv' / 'BatchNorm' class
     names).  Applied to a flax param tree: 4-D "kernel" leaves are conv kernels;
     leaves under a "stats" module are BatchNorm scale/bias."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     keys = jax.random.split(key, len(flat))
-    out = {}
 
-    def assign(tree, path, value):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p.key, {})
-        node[path[-1].key] = value
-
-    for (path, leaf), k in zip(flat, keys):
+    def init_leaf(path, leaf, k):
         names = [p.key for p in path]
         if names[-1] == "kernel" and leaf.ndim == 4:
-            leaf = 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
-        elif "stats" in names and names[-1] == "scale":
-            leaf = 1.0 + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
-        elif "stats" in names and names[-1] == "bias":
-            leaf = jnp.zeros_like(leaf)
-        assign(out, path, leaf)
-    return out
+            return 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if "stats" in names and names[-1] == "scale":
+            return 1.0 + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if "stats" in names and names[-1] == "bias":
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [init_leaf(p, l, k) for (p, l), k in zip(flat, keys)]
+    )
 
 
 def train_rca_gan_diffusion(
