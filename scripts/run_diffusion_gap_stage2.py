@@ -37,7 +37,34 @@ def pick_winner(log_path, expected=STAGE1_CONFIGS):
     return max(gaps, key=lambda r: r["psnr_best_db"])
 
 
-def stage2_command(best, epochs=200):
+def fit_epochs_to_budget(best, epochs, budget_s):
+    """Cap the stage-2 epoch count so the run fits a wall-clock budget.
+
+    The queue wraps stage 2 in a hard ``timeout`` (9000 s); a winner with a
+    heavy per-epoch cost (e.g. base_filters=64 at ~2.5x the bf32 epoch time)
+    would be SIGKILLed at 200 epochs and lose its evidence row. The stage-1
+    row carries ``train_seconds`` for its own epoch count, which predicts the
+    stage-2 per-epoch cost (same config, same batch/step shape), so scale the
+    epoch budget to what fits, reserving ~500 s for data generation, compile,
+    and the final full-sampler eval.
+    """
+    t1, e1 = best.get("train_seconds"), best.get("epochs")
+    if not t1 or not e1:
+        return epochs
+    per_epoch = t1 / e1
+    fit = int((budget_s - 500) / per_epoch)
+    fit -= fit % 20  # keep eval-every-20 boundaries so the last epoch evals
+    capped = max(40, min(epochs, fit))
+    if capped < epochs:
+        print(f"WARNING: winner costs ~{per_epoch:.1f}s/epoch; capping stage 2 "
+              f"at {capped} epochs to fit the {budget_s}s queue budget",
+              flush=True)
+    return capped
+
+
+def stage2_command(best, epochs=200, budget_s=None):
+    if budget_s:
+        epochs = fit_epochs_to_budget(best, epochs, budget_s)
     return ["python", "scripts/train_tpu_accuracy.py", "--algo", "diffusion",
             "--epochs", str(epochs), "--batch-size", "128", "--n-train", "2048",
             "--sched-steps-per-epoch", "300", "--device-data", "--eval-every", "20",
@@ -53,12 +80,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--log", default="runs/accuracy_log.jsonl")
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--budget-s", type=int, default=8600,
+                    help="wall budget the run must fit (the queue's timeout "
+                         "minus headroom); 0 disables the epoch cap")
     ap.add_argument("--dry-run", action="store_true",
                     help="print the winner + command without training")
     args = ap.parse_args(argv)
     best = pick_winner(args.log)
     print("stage-1 winner:", json.dumps(best), flush=True)
-    cmd = stage2_command(best, epochs=args.epochs)
+    cmd = stage2_command(best, epochs=args.epochs, budget_s=args.budget_s)
     print("running:", " ".join(cmd), flush=True)
     if args.dry_run:
         return 0

@@ -112,3 +112,24 @@ def test_accuracy_scripts_reject_unapplied_flags():
         capture_output=True, text=True, env=env, timeout=120)
     assert r.returncode != 0 and "only apply to --algo rca/hybrid" in (
         r.stderr + r.stdout)
+
+
+def test_stage2_epoch_cap_fits_queue_budget():
+    """A heavy stage-1 winner (e.g. base_filters=64 at ~2.5x the bf32 epoch
+    cost) must be capped to fit the queue's hard timeout instead of being
+    SIGKILLed at 200 epochs and losing its evidence row."""
+    heavy = {"tag": "gap-bf64", "psnr_best_db": 27.0, "lr": 2e-4,
+             "loss_weights": "0,1,0", "t_dist": "uniform", "timesteps": 20,
+             "base_filters": 64, "train_seconds": 2600.0, "epochs": 40}
+    cmd = stage2.stage2_command(heavy, epochs=200, budget_s=8600)
+    capped = int(cmd[cmd.index("--epochs") + 1])
+    assert 40 <= capped < 200
+    assert capped % 20 == 0, "must land on an eval-every-20 boundary"
+    # a light winner is NOT capped
+    light = dict(heavy, train_seconds=1236.0)
+    cmd = stage2.stage2_command(light, epochs=200, budget_s=8600)
+    assert cmd[cmd.index("--epochs") + 1] == "200"
+    # rows without timing info (old logs) pass through unchanged
+    del heavy["train_seconds"]
+    cmd = stage2.stage2_command(heavy, epochs=200, budget_s=8600)
+    assert cmd[cmd.index("--epochs") + 1] == "200"
