@@ -4,10 +4,14 @@ Stage 1 (``scripts/run_diffusion_gap.sh``) ranks ~8 configs — the reference's
 own tuning knobs: combined_loss weights mse/charbonnier/ssim
 (diffusion_RDUnet.py:60-65), Beta(2,1)-biased t-sampling (:71-73), timesteps,
 base_filters, lr — at a 640-step budget, logging each to
-``runs/accuracy_log.jsonl`` with a ``gap-*`` tag.  This script picks the
-highest ``psnr_best_db`` stage-1 row and re-runs that config at the full
-3200-step budget (200 epochs x 16 steps at batch 128) where the round-3
-baseline config measured 29.70 dB; target is >30.5 dB or a measured negative.
+``runs/accuracy_log.jsonl`` with a ``gap-*`` tag.  Because the stage-1 grid is
+one-knob-at-a-time around the ``gap-base`` re-anchor, this script promotes by
+**greedy knob composition** (coordinate ascent): every knob whose single-knob
+row beat the baseline by >= MIN_GAIN dB is adopted into one composed config
+(e.g. biased-t AND lr 4e-4), which is re-run at the full 3200-step budget
+(200 epochs x 16 steps at batch 128) where the round-3 baseline config
+measured 29.70 dB; target is >30.5 dB or a measured negative.  Falls back to
+the single best row when no baseline row exists or no knob helped.
 
 Usage (TPU):  python scripts/run_diffusion_gap_stage2.py [--log runs/accuracy_log.jsonl]
 """
@@ -19,9 +23,11 @@ import sys
 
 
 STAGE1_CONFIGS = 8  # run_diffusion_gap.sh trains exactly these
+KNOBS = ("lr", "loss_weights", "t_dist", "timesteps", "base_filters")
+MIN_GAIN_DB = 0.15  # a knob must beat the baseline by this much to be adopted
 
 
-def pick_winner(log_path, expected=STAGE1_CONFIGS):
+def load_stage1(log_path, expected=STAGE1_CONFIGS):
     rows = [json.loads(l) for l in open(log_path) if l.strip()]
     gaps = [r for r in rows
             if (r.get("tag") or "").startswith("gap-") and r.get("tag") != "gap-stage2"]
@@ -34,7 +40,54 @@ def pick_winner(log_path, expected=STAGE1_CONFIGS):
         print(f"WARNING: only {len(gaps)}/{expected} stage-1 rows present "
               f"({sorted(r['tag'] for r in gaps)}); promoting the best of a "
               f"PARTIAL grid", flush=True)
-    return max(gaps, key=lambda r: r["psnr_best_db"])
+    return gaps
+
+
+def pick_winner(log_path, expected=STAGE1_CONFIGS):
+    return max(load_stage1(log_path, expected), key=lambda r: r["psnr_best_db"])
+
+
+def compose_winner(gaps):
+    """Greedy knob composition over a one-knob-at-a-time grid.
+
+    For every stage-1 row that differs from the ``gap-base`` re-anchor in
+    exactly ONE of KNOBS and beats it by >= MIN_GAIN_DB, adopt that knob's
+    value (ties between rows changing the same knob go to the higher PSNR).
+    Returns a pseudo-row with the composed config, or None when there is no
+    baseline row or no knob helped (callers fall back to the best single row).
+    The composed ``train_seconds`` multiplies the per-knob cost ratios (knob
+    costs are independent: base_filters scales compute, ssim adds loss work,
+    t-dist/lr are free), so the budget cap sees a realistic estimate.
+    """
+    base = next((r for r in gaps if r.get("tag") == "gap-base"), None)
+    if base is None:
+        return None
+    adopted = {}  # knob -> winning row
+    for row in gaps:
+        if row is base:
+            continue
+        diffs = [k for k in KNOBS if row.get(k, base.get(k)) != base.get(k)]
+        if len(diffs) != 1 or row["psnr_best_db"] < base["psnr_best_db"] + MIN_GAIN_DB:
+            continue
+        k = diffs[0]
+        if k not in adopted or row["psnr_best_db"] > adopted[k]["psnr_best_db"]:
+            adopted[k] = row
+    if not adopted:
+        return None
+    composed = {k: base.get(k) for k in KNOBS}
+    composed.update({"tag": "gap-composed", "epochs": base.get("epochs"),
+                     "psnr_best_db": max(r["psnr_best_db"] for r in adopted.values())})
+    cost = float(base.get("train_seconds") or 0.0)
+    for k, row in adopted.items():
+        composed[k] = row.get(k)
+        if cost and base.get("train_seconds") and row.get("train_seconds"):
+            cost *= row["train_seconds"] / base["train_seconds"]
+    if cost:
+        composed["train_seconds"] = cost
+    print("composed knobs: " + ", ".join(
+        f"{k}={composed[k]!r} (+{adopted[k]['psnr_best_db'] - base['psnr_best_db']:.2f} dB "
+        f"from {adopted[k]['tag']})" for k in sorted(adopted)), flush=True)
+    return composed
 
 
 def fit_epochs_to_budget(best, epochs, budget_s):
@@ -86,8 +139,22 @@ def main(argv=None):
     ap.add_argument("--dry-run", action="store_true",
                     help="print the winner + command without training")
     args = ap.parse_args(argv)
-    best = pick_winner(args.log)
+    gaps = load_stage1(args.log)
+    single = max(gaps, key=lambda r: r["psnr_best_db"])
+    best = compose_winner(gaps) or single
+    # if stage 1 already measured the composed config (e.g. the grid's own
+    # ssim+biased combo row), trust the measurement: a combo row that lost to
+    # the best single row is evidence the knobs interact badly
+    measured = next((r for r in gaps if all(
+        r.get(k, best.get(k)) == best.get(k) for k in KNOBS)), None)
+    if measured is not None and measured["psnr_best_db"] < single["psnr_best_db"]:
+        print(f"composed config was already measured ({measured['tag']}: "
+              f"{measured['psnr_best_db']} dB) and LOST to {single['tag']} "
+              f"({single['psnr_best_db']} dB); promoting the single winner",
+              flush=True)
+        best = single
     print("stage-1 winner:", json.dumps(best), flush=True)
+    print("best single row:", json.dumps(single), flush=True)
     cmd = stage2_command(best, epochs=args.epochs, budget_s=args.budget_s)
     print("running:", " ".join(cmd), flush=True)
     if args.dry_run:

@@ -133,3 +133,59 @@ def test_stage2_epoch_cap_fits_queue_budget():
     del heavy["train_seconds"]
     cmd = stage2.stage2_command(heavy, epochs=200, budget_s=8600)
     assert cmd[cmd.index("--epochs") + 1] == "200"
+
+
+def test_stage2_greedy_knob_composition():
+    """One-knob rows that beat the gap-base re-anchor compose into a single
+    stage-2 config; losing knobs are left at baseline values."""
+    base = {"tag": "gap-base", "psnr_best_db": 26.18, "lr": 2e-4,
+            "loss_weights": "0,1,0", "t_dist": "uniform", "timesteps": 20,
+            "base_filters": 32, "train_seconds": 1278.0, "epochs": 40}
+    rows = [
+        base,
+        dict(base, tag="gap-biased", t_dist="biased", psnr_best_db=26.92,
+             train_seconds=1236.0),
+        dict(base, tag="gap-lr4", lr=4e-4, psnr_best_db=27.1,
+             train_seconds=1240.0),
+        dict(base, tag="gap-mse", loss_weights="1,1,0", psnr_best_db=25.51),
+        # multi-knob rows never contribute knobs directly
+        dict(base, tag="gap-ssim-biased", loss_weights="0,1,0.3",
+             t_dist="biased", psnr_best_db=26.5),
+    ]
+    composed = stage2.compose_winner(rows)
+    assert composed["t_dist"] == "biased" and composed["lr"] == 4e-4
+    assert composed["loss_weights"] == "0,1,0"  # mse lost, stays baseline
+    assert composed["base_filters"] == 32 and composed["timesteps"] == 20
+    # cost estimate multiplies per-knob ratios off the baseline
+    assert abs(composed["train_seconds"]
+               - 1278.0 * (1236.0 / 1278.0) * (1240.0 / 1278.0)) < 1.0
+    # no baseline row -> no composition (caller falls back to best single)
+    assert stage2.compose_winner(rows[1:]) is None
+    # no winning knob -> None
+    assert stage2.compose_winner([base, rows[3]]) is None
+
+
+def test_stage2_composition_defers_to_measured_combo_row(tmp_path, capsys):
+    """If the grid already measured the composed config and it LOST to the
+    best single row, the script must promote the single winner instead."""
+    base = {"tag": "gap-base", "psnr_best_db": 26.0, "lr": 2e-4,
+            "loss_weights": "0,1,0", "t_dist": "uniform", "timesteps": 20,
+            "base_filters": 32, "train_seconds": 1278.0, "epochs": 40}
+    rows = [
+        base,
+        dict(base, tag="gap-biased", t_dist="biased", psnr_best_db=26.9),
+        dict(base, tag="gap-ssim", loss_weights="0,1,0.3", psnr_best_db=26.4),
+        # the composed config (biased+ssim), measured, and it lost to biased
+        dict(base, tag="gap-ssim-biased", t_dist="biased",
+             loss_weights="0,1,0.3", psnr_best_db=26.2),
+    ]
+    log = tmp_path / "log.jsonl"
+    log.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    rc = stage2.main(["--log", str(log), "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "LOST" in out
+    # the promoted command is the single winner: biased WITHOUT ssim
+    cmd_line = [l for l in out.splitlines() if l.startswith("running:")][0]
+    assert "--t-dist biased" in cmd_line
+    assert "--loss-weights 0,1,0 " in cmd_line + " "
