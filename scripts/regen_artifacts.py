@@ -124,6 +124,27 @@ MANIFEST = [
         "~2-3 h",
         "C13 search at reference scale (25 trials x 5 epochs, 256^2)",
     ),
+    (
+        "gap_stage2",
+        "runs/gap_stage2",
+        "runs/gap_stage2/diffusion_RDUNet_model_checkpointed_epoch_*.pth",
+        # re-derives the composed winner from the stage-1 rows in
+        # runs/accuracy_log.jsonl, then trains it at the 3200-step budget
+        "python scripts/run_diffusion_gap_stage2.py",
+        "~105 min",
+        "Diffusion-gap stage 2: greedy-composed winner at the full budget",
+    ),
+    (
+        "serve_sweep",
+        "runs/serve_sweep.json",
+        "runs/serve_sweep.json",
+        "python scripts/bench_serve.py "
+        "--checkpoint runs/accuracy_ckpt_s25/rdunet_denoising.pth "
+        "--trusted-checkpoint --bf16 --max-batch-sweep 16,32,64 "
+        "--clients-sweep 16,32 --raw --seconds 20 --out runs/serve_sweep.json",
+        "~30 min (needs the s25 ckpt)",
+        "Serving sweep: phase breakdown, max-batch x clients grid, raw mode",
+    ),
 ]
 
 
