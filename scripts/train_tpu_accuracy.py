@@ -137,6 +137,13 @@ def main():
         help="checkpoint directory (default runs/accuracy_ckpt[_diffusion]); "
         "set when training variants like the flagship so runs don't clobber",
     )
+    ap.add_argument(
+        "--ckpt-every", type=int, default=0,
+        help="also checkpoint every N epochs mid-run (0 = final only). The "
+        "axon tunnel can wedge for hours mid-run (CLAUDE.md); periodic "
+        "checkpoints make a 90-min run resumable via --resume instead of "
+        "all-or-nothing",
+    )
     ap.add_argument("--out", default="runs/accuracy_log.jsonl")
     ap.add_argument(
         "--resume", default="",
@@ -317,6 +324,14 @@ def main():
         else:
             print(f"epoch {epoch + 1}/{end_epoch} loss {loss:.4f} "
                   f"[{time.time() - te:.1f}s/epoch]", flush=True)
+        # periodic mid-run checkpoint (tunnel-outage insurance); the final
+        # epoch's save below is authoritative, don't double-write it
+        if (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0
+                and epoch != end_epoch - 1):
+            if args.algo == "diffusion":
+                trainer.save_epoch_checkpoint(state, epoch)
+            else:
+                trainer.maybe_checkpoint(state, epoch, force=True)
 
     final, per_image = evaluate(state)
     best = max(best, final)
