@@ -117,7 +117,9 @@ MANIFEST = [
     (
         "search_ref_scale",
         "runs/trial_results_tpu_ref_scale.csv",
-        "runs/trial_results_tpu_ref_scale.csv",
+        # the .study.json sidecar is written only on study COMPLETION — a
+        # killed study leaves a partial CSV that must read as missing
+        "runs/trial_results_tpu_ref_scale.csv.study.json",
         "python scripts/run_search_tpu.py --trials 25 --epochs 5 --size 256 "
         "--n-train 256 --n-val 16 --batch-size 16 --engine xla --bf16 "
         "--csv runs/trial_results_tpu_ref_scale.csv",
@@ -167,16 +169,37 @@ def check():
 
 
 def regen(names, force=False):
+    import signal
+
     todo = [e for e in MANIFEST if names == ["all"] or e[0] in names]
     if not todo:
         sys.exit(f"no manifest entries match {names}; known: {[e[0] for e in MANIFEST]}")
+
+    # forward SIGTERM (what `timeout` sends) to the running child: otherwise
+    # the trainer is orphaned and keeps the chip busy under the NEXT queue item
+    child = {"proc": None}
+
+    def _forward(signum, frame):
+        p = child["proc"]
+        if p is not None and p.poll() is None:
+            p.terminate()
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, _forward)
+
     for name, path, marker, cmd, cost, _ in todo:
         if _live(marker) and not force:
             print(f"[skip] {name}: {path} exists (use --force to rebuild)")
             continue
         print(f"[regen] {name}: {cmd}  (expect {cost} warm-cache)", flush=True)
         t0 = time.time()
-        rc = subprocess.call(shlex.split(cmd), cwd=REPO)
+        child["proc"] = subprocess.Popen(shlex.split(cmd), cwd=REPO)
+        rc = child["proc"].wait()
+        child["proc"] = None
         print(f"[regen] {name}: rc={rc} in {time.time() - t0:.0f}s", flush=True)
         if rc != 0:
             sys.exit(rc)

@@ -29,8 +29,13 @@ MIN_GAIN_DB = 0.15  # a knob must beat the baseline by this much to be adopted
 
 def load_stage1(log_path, expected=STAGE1_CONFIGS):
     rows = [json.loads(l) for l in open(log_path) if l.strip()]
+    # stage-1 rows only: exclude the promoted stage-2/3 records themselves and
+    # {"partial": true} snapshot rows (those lack the knob fields, so a cut
+    # run must never be promoted as if it were a measured grid point)
     gaps = [r for r in rows
-            if (r.get("tag") or "").startswith("gap-") and r.get("tag") != "gap-stage2"]
+            if (r.get("tag") or "").startswith("gap-")
+            and r.get("tag") not in ("gap-stage2", "gap-stage3")
+            and not r.get("partial")]
     if not gaps:
         sys.exit(f"no stage-1 'gap-*' rows found in {log_path}")
     if len(gaps) < expected:
@@ -115,7 +120,8 @@ def fit_epochs_to_budget(best, epochs, budget_s):
     return capped
 
 
-def stage2_command(best, epochs=200, budget_s=None):
+def stage2_command(best, epochs=200, budget_s=None, tag="gap-stage2",
+                   ckpt_dir="runs/gap_stage2"):
     if budget_s:
         epochs = fit_epochs_to_budget(best, epochs, budget_s)
     return ["python", "scripts/train_tpu_accuracy.py", "--algo", "diffusion",
@@ -126,7 +132,7 @@ def stage2_command(best, epochs=200, budget_s=None):
             "--t-dist", best.get("t_dist", "uniform"),
             "--timesteps", str(best.get("timesteps", 20)),
             "--base-filters", str(best.get("base_filters", 32)),
-            "--tag", "gap-stage2", "--ckpt-dir", "runs/gap_stage2"]
+            "--tag", tag, "--ckpt-dir", ckpt_dir]
 
 
 def main(argv=None):
@@ -138,6 +144,11 @@ def main(argv=None):
                          "minus headroom); 0 disables the epoch cap")
     ap.add_argument("--dry-run", action="store_true",
                     help="print the winner + command without training")
+    ap.add_argument("--tag", default="gap-stage2",
+                    help="evidence-row tag (a stage-3 re-composition over the "
+                         "COMPLETED grid uses gap-stage3 so it never shadows "
+                         "the stage-2 record)")
+    ap.add_argument("--ckpt-dir", default="runs/gap_stage2")
     args = ap.parse_args(argv)
     gaps = load_stage1(args.log)
     single = max(gaps, key=lambda r: r["psnr_best_db"])
@@ -155,7 +166,8 @@ def main(argv=None):
         best = single
     print("stage-1 winner:", json.dumps(best), flush=True)
     print("best single row:", json.dumps(single), flush=True)
-    cmd = stage2_command(best, epochs=args.epochs, budget_s=args.budget_s)
+    cmd = stage2_command(best, epochs=args.epochs, budget_s=args.budget_s,
+                         tag=args.tag, ckpt_dir=args.ckpt_dir)
     print("running:", " ".join(cmd), flush=True)
     if args.dry_run:
         return 0

@@ -17,6 +17,7 @@ VERDICT r3 #3 asks for >=25 trials at the 256^2-patch protocol):
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -76,16 +77,41 @@ def main():
     if args.bf16:
         trainer_kwargs["compute_dtype"] = jnp.bfloat16
     t0 = time.time()
+    # catch=(Exception,): a transient axon-tunnel error fails ONE trial (30 s
+    # cool-down) instead of aborting the study — round-4's 25-trial study died
+    # at trial 4 on "response body closed before all bytes were read".
     study = run_search(train_loader, val_loader, n_trials=args.trials,
                        num_epochs=args.epochs, csv_path=args.csv,
-                       trainer_kwargs=trainer_kwargs)
-    pruned = sum(1 for t in study.trials if t.value is None)
-    done = len(study.trials) - pruned
-    best = study.best_trial
+                       trainer_kwargs=trainer_kwargs,
+                       catch=(Exception,), fail_wait_s=30.0)
+    states = [str(getattr(t, "state", "")) for t in study.trials]
+    failed = sum("FAIL" in s for s in states)
+    done = sum(1 for t in study.trials if t.value is not None)
+    pruned = len(study.trials) - done - failed
+    try:
+        best = study.best_trial
+        best_txt = f"best -psnr {best.value:.3f}; best params {best.params}"
+        best_params, best_value = best.params, best.value
+    except ValueError:
+        best_txt = "no completed trials"
+        best_params, best_value = None, None
     print(f"search wall: {time.time() - t0:.0f}s; trials {len(study.trials)} "
-          f"({done} completed, {pruned} pruned); best -psnr "
-          f"{best.value:.3f}; best params {best.params}; csv -> {args.csv}",
-          flush=True)
+          f"({done} completed, {pruned} pruned, {failed} failed); {best_txt}; "
+          f"csv -> {args.csv}", flush=True)
+    # completion sidecar: written ONLY when the whole study ran, so the
+    # manifest's liveness marker can distinguish a finished study from a
+    # killed one (a partial CSV looks identical otherwise — ADVICE r4)
+    summary = {
+        "trials": len(study.trials), "completed": done, "pruned": pruned,
+        "failed": failed, "wall_seconds": round(time.time() - t0, 1),
+        "best_params": best_params,
+        "best_psnr": None if best_value is None else -best_value,
+        "protocol": {"epochs": args.epochs, "size": args.size,
+                     "n_train": args.n_train, "batch_size": args.batch_size,
+                     "engine": args.engine, "bf16": args.bf16},
+    }
+    with open(args.csv + ".study.json", "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":

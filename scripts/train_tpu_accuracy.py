@@ -108,6 +108,13 @@ def main():
         "image with per-level PSNR breakdown; overrides --sigma",
     )
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--optimizer", default="", choices=("", "adam", "adamw"),
+                    help="diffusion optimizer_choice override (empty = trainer "
+                         "default) — lets a C13 search winner retrain at the "
+                         "full accuracy protocol")
+    ap.add_argument("--scheduler", default="", choices=("", "cosine", "step"),
+                    help="diffusion scheduler_choice override (empty = trainer "
+                         "default)")
     ap.add_argument("--engine", default="xla")
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument(
@@ -157,8 +164,10 @@ def main():
     # record); reject BEFORE any data generation / device work
     if args.algo == "supervised" and (
         args.loss_weights != "0,1,0" or args.t_dist != "uniform"
+        or args.optimizer or args.scheduler
     ):
-        sys.exit("--loss-weights/--t-dist only apply to --algo diffusion")
+        sys.exit("--loss-weights/--t-dist/--optimizer/--scheduler only apply "
+                 "to --algo diffusion")
 
     import jax
     import jax.numpy as jnp
@@ -215,12 +224,18 @@ def main():
 
     remat = args.remat == "true"
     if args.algo == "diffusion":
+        opt_kw = {}
+        if args.optimizer:
+            opt_kw["optimizer_choice"] = args.optimizer
+        if args.scheduler:
+            opt_kw["scheduler_choice"] = args.scheduler
         trainer = DiffusionTrainer(
             base_filters=args.base_filters, timesteps=args.timesteps, lr=args.lr,
             engine=args.engine, remat=remat, compute_dtype=jnp.bfloat16,
             loss_weights=tuple(float(w) for w in args.loss_weights.split(",")),
             distribution_choice=args.t_dist,
             output_dir=args.ckpt_dir or "runs/accuracy_ckpt_diffusion",
+            **opt_kw,
         )
     else:
         model = RDUNet(channels=3, base_filters=args.base_filters)
@@ -306,6 +321,46 @@ def main():
     best = -1.0
     t_train0 = time.time()
     end_epoch = start_epoch + args.epochs
+
+    # --- snapshot-safety (VERDICT r4 #8): a killed run must still leave a
+    # usable evidence row.  Every eval atomically rewrites
+    # <ckpt_dir>/progress.json (survives SIGKILL), and a SIGTERM — what
+    # `timeout` and queue teardown send — appends a {"partial": true} row with
+    # the best-so-far PSNR to the accuracy log before exiting.
+    ckpt_dir = args.ckpt_dir or (
+        "runs/accuracy_ckpt_diffusion" if args.algo == "diffusion"
+        else "runs/accuracy_ckpt"
+    )
+    partial = {
+        "metric": f"rdunet_{args.algo}_synthetic_psnr",
+        "sigma": None if sigma_list is not None else sigma,
+        "tag": args.tag or None,
+        "base_filters": args.base_filters,
+        "epochs_target": end_epoch,
+        "psnr_noisy_db": round(psnr_noisy, 2),
+    }
+
+    def _flush_progress():
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tmp = os.path.join(ckpt_dir, f".progress.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(partial) + "\n")
+        os.replace(tmp, os.path.join(ckpt_dir, "progress.json"))
+
+    def _on_sigterm(signum, frame):
+        if "psnr_best_db" in partial:
+            rec = dict(partial)
+            rec["partial"] = True
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+        os._exit(143)  # skip jax/orbax teardown: the runtime may be wedged
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     for epoch in range(start_epoch, end_epoch):
         te = time.time()
         if args.algo == "diffusion":
@@ -315,6 +370,10 @@ def main():
         if (epoch + 1) % args.eval_every == 0 or epoch == end_epoch - 1:
             p, _ = evaluate(state)
             best = max(best, p)
+            partial.update(epochs_done=epoch + 1, psnr_denoised_db=round(p, 2),
+                           psnr_best_db=round(best, 2),
+                           train_seconds=round(time.time() - t_train0, 1))
+            _flush_progress()
             print(
                 f"epoch {epoch + 1}/{end_epoch} loss {loss:.4f} "
                 f"val PSNR {p:.2f} dB (best {best:.2f}) "
@@ -324,14 +383,18 @@ def main():
         else:
             print(f"epoch {epoch + 1}/{end_epoch} loss {loss:.4f} "
                   f"[{time.time() - te:.1f}s/epoch]", flush=True)
-        # periodic mid-run checkpoint (tunnel-outage insurance); the final
-        # epoch's save below is authoritative, don't double-write it
+        # periodic mid-run checkpoint (tunnel-outage insurance) under a
+        # distinct mid_ name: the manifest's liveness markers must never
+        # mistake an interrupted run for the completed artifact
+        # (regen_artifacts.py; ADVICE r4).  The final save below is
+        # authoritative.  --resume accepts the mid_ path directly.
         if (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0
                 and epoch != end_epoch - 1):
             if args.algo == "diffusion":
-                trainer.save_epoch_checkpoint(state, epoch)
+                trainer.save_epoch_checkpoint(state, epoch, name="mid_checkpoint.pth")
             else:
-                trainer.maybe_checkpoint(state, epoch, force=True)
+                trainer.maybe_checkpoint(state, epoch, force=True,
+                                         name="mid_rdunet_denoising.pth")
 
     final, per_image = evaluate(state)
     best = max(best, final)
@@ -360,6 +423,10 @@ def main():
         result["loss_weights"] = args.loss_weights
         result["t_dist"] = args.t_dist
         result["lr"] = args.lr
+        if args.optimizer:
+            result["optimizer"] = args.optimizer
+        if args.scheduler:
+            result["scheduler"] = args.scheduler
     if start_epoch:
         result["resumed_from_epoch"] = start_epoch
     if sigma_list is not None:

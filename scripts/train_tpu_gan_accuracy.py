@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--lam-content", type=float, default=-1.0)
     ap.add_argument("--lam-texture", type=float, default=-1.0)
     ap.add_argument("--lam-adv", type=float, default=-1.0)
+    ap.add_argument("--adv-ramp-steps", type=int, default=0,
+                    help="linear warm-up of the adversarial G-slot over this "
+                         "many steps (0 = reference behavior); the round-4 "
+                         "ablation's late-erosion stabilizer (rca/hybrid only)")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--size", type=int, default=64)
@@ -90,11 +94,12 @@ def main():
     # than record a config that was never applied (the JSON record appended
     # at the end is the evidence of record)
     if args.algo == "attention" and (
-        args.critic_norm != "bn"
+        args.critic_norm != "bn" or args.adv_ramp_steps
         or any(getattr(args, f) >= 0 for f in
                ("lam_feat", "lam_content", "lam_texture", "lam_adv"))
     ):
-        sys.exit("--critic-norm/--lam-* only apply to --algo rca/hybrid")
+        sys.exit("--critic-norm/--lam-*/--adv-ramp-steps only apply to "
+                 "--algo rca/hybrid")
 
     import jax
     import jax.numpy as jnp
@@ -139,7 +144,8 @@ def main():
 
         trainer = RCAGANTrainer(
             checkpoint_dir=ckpt_dir, disc_input_hw=args.size,
-            critic_norm=args.critic_norm, **lam_kw,
+            critic_norm=args.critic_norm, adv_ramp_steps=args.adv_ramp_steps,
+            **lam_kw,
             **({"lr": args.lr} if args.lr else {}),
         )
     elif args.algo == "hybrid":
@@ -150,7 +156,8 @@ def main():
         trainer = RCAGANTrainer(
             generator=GeneratorWithDiffusion(1, 1, num_timesteps=args.num_timesteps),
             checkpoint_dir=ckpt_dir, disc_input_hw=args.size,
-            critic_norm=args.critic_norm, **lam_kw,
+            critic_norm=args.critic_norm, adv_ramp_steps=args.adv_ramp_steps,
+            **lam_kw,
             **({"lr": args.lr} if args.lr else {}),
         )
     else:
@@ -195,6 +202,35 @@ def main():
     psnr_noisy = float(np.mean(10 * np.log10(1.0 / mse)))
     print(f"noisy-input PSNR @ sigma={args.sigma}: {psnr_noisy:.2f} dB", flush=True)
 
+    # --- snapshot-safety (VERDICT r4 #8, same scheme as train_tpu_accuracy):
+    # every eval atomically rewrites <ckpt_dir>/progress.json, and SIGTERM
+    # (what `timeout`/queue teardown send) appends a {"partial": true} row
+    partial = {"metric": "gan_synthetic_psnr", "algo": args.algo,
+               "tag": args.tag or None, "size": args.size,
+               "n_train": args.n_train, "epochs_target": args.epochs,
+               "psnr_noisy_db": round(psnr_noisy, 2)}
+
+    def _flush_progress():
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tmp = os.path.join(ckpt_dir, f".progress.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(partial) + "\n")
+        os.replace(tmp, os.path.join(ckpt_dir, "progress.json"))
+
+    def _on_sigterm(signum, frame):
+        if "psnr_best_db" in partial:
+            rec2 = dict(partial)
+            rec2["partial"] = True
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec2) + "\n")
+            print(json.dumps(rec2), flush=True)
+        os._exit(143)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     key = jax.random.PRNGKey(42)
     best = -1.0
     t0 = time.time()
@@ -206,6 +242,11 @@ def main():
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             psnr = evaluate(state)
             best = max(best, psnr)
+            partial.update(epochs_done=epoch + 1, psnr_denoised_db=round(psnr, 2),
+                           psnr_best_db=round(best, 2),
+                           d_loss=round(d_loss, 3),
+                           train_seconds=round(time.time() - t0, 1))
+            _flush_progress()
             line += f" val PSNR {psnr:.2f} dB (best {best:.2f})"
         print(line, flush=True)
     train_seconds = time.time() - t0
@@ -220,6 +261,7 @@ def main():
         "lr": args.lr or None,
         "tag": args.tag or None,
         "lambdas": lam_kw or None,
+        "adv_ramp_steps": args.adv_ramp_steps or None,
         "sigma": args.sigma,
         "size": args.size,
         "epochs": args.epochs,

@@ -54,6 +54,15 @@ def test_cosine_lr_matches_torch_cosineannealing():
     np.testing.assert_allclose(sched(10), 0.0, atol=1e-12)
 
 
+def test_cosine_lr_traces_under_jit():
+    """Regression: optax evaluates schedules on the TRACED step counter inside
+    the jitted train step; math.cos on a tracer raised ConcretizationTypeError
+    for every adam/cosine config (found by the round-5 C13 retrain smoke)."""
+    sched = cosine_annealing_lr(2e-4, steps_per_epoch=10, t_max=10)
+    traced = jax.jit(sched)(jnp.asarray(50, jnp.int32))
+    np.testing.assert_allclose(float(traced), sched(50), rtol=1e-6)
+
+
 def test_supervised_step_decreases_loss():
     model = RDUNet(channels=3, base_filters=4)
     loader = _loader(batch_size=8)

@@ -116,20 +116,39 @@ def save_trial_results(trial, value, csv_path="trial_results.csv",
 
 def run_search(train_loader, val_loader, n_trials: int = 50, num_epochs: int = 5,
                csv_path: str = "trial_results.csv", seed: int = 0,
-               trainer_kwargs: Optional[dict] = None):
-    """Study driver (hyperparams_search.py:93-104)."""
+               trainer_kwargs: Optional[dict] = None, catch=(),
+               fail_wait_s: float = 0.0):
+    """Study driver (hyperparams_search.py:93-104).
+
+    ``catch`` is forwarded to Study.optimize (optuna semantics): matching
+    exceptions fail the trial, not the study — on the axon TPU a transient
+    tunnel error otherwise aborts a multi-hour study (round-4 postmortem).
+    ``fail_wait_s`` sleeps after a failed trial so a brief outage has time to
+    clear before the next trial retries the device."""
+    import time as _time
+
     study = create_study(direction="minimize", seed=seed)
+
+    def _on_trial(s, t):
+        if t.value is not None:
+            save_trial_results(t, t.value, csv_path)
+        elif fail_wait_s and "FAIL" in str(getattr(t, "state", "")):
+            _time.sleep(fail_wait_s)
+
     study.optimize(
         lambda t: objective(t, train_loader, val_loader, num_epochs=num_epochs,
                             trainer_kwargs=trainer_kwargs),
         n_trials=n_trials,
-        callbacks=[lambda s, t: save_trial_results(t, t.value, csv_path)
-                   if t.value is not None else None],
+        callbacks=[_on_trial],
+        catch=catch,
     )
-    print(f"Best trial: {study.best_trial.value}")
-    print("Best hyperparameters: ")
-    for key, value in study.best_trial.params.items():
-        print(f"{key}: {value}")
+    try:
+        print(f"Best trial: {study.best_trial.value}")
+        print("Best hyperparameters: ")
+        for key, value in study.best_trial.params.items():
+            print(f"{key}: {value}")
+    except ValueError:
+        print("Best trial: none (no trial completed)")
     try:
         import pandas as pd
         from tabulate import tabulate

@@ -167,7 +167,12 @@ class _Study:
         self.gamma = gamma
         self.trials: List[_Trial] = []
 
-    def optimize(self, objective: Callable, n_trials: int, callbacks=None):
+    def optimize(self, objective: Callable, n_trials: int, callbacks=None,
+                 catch=()):
+        """optuna-parity driver.  ``catch`` (a tuple of exception types, like
+        optuna's Study.optimize(catch=...)) marks a matching failure as a FAIL
+        trial and continues the study instead of aborting it — a transient
+        device/tunnel error then costs one trial, not the whole study."""
         for i in range(n_trials):
             trial = _Trial(i, self.seed, self)
             self.trials.append(trial)
@@ -176,6 +181,10 @@ class _Study:
                 trial.state = "COMPLETE"
             except TrialPruned:
                 trial.state = "PRUNED"
+            except catch as exc:  # noqa: E722 — tuple provided by caller
+                trial.state = "FAIL"
+                print(f"[optuna-compat] trial {i} FAILED ({type(exc).__name__}): "
+                      f"{exc}", flush=True)
             for cb in callbacks or []:
                 cb(self, trial)
 

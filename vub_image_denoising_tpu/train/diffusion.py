@@ -235,9 +235,14 @@ class DiffusionTrainer(ShardedTrainerMixin):
                 )
         return vloss, denoised
 
-    def save_epoch_checkpoint(self, state, epoch: int):
+    def save_epoch_checkpoint(self, state, epoch: int, name: str = ""):
+        """``name`` overrides the reference filename — mid-run insurance saves
+        use a ``mid_``-prefixed name that the manifest's liveness glob
+        (``diffusion_RDUNet_model_checkpointed_epoch_*.pth``) does not match,
+        so an interrupted run is never mistaken for the completed artifact."""
         path = os.path.join(
-            self.output_dir, f"diffusion_RDUNet_model_checkpointed_epoch_{epoch + 1}.pth"
+            self.output_dir,
+            name or f"diffusion_RDUNet_model_checkpointed_epoch_{epoch + 1}.pth",
         )
         ckpt_io.save_pth(
             path,

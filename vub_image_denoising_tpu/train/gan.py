@@ -65,6 +65,14 @@ class RCAGANTrainer:
     # adversarial slot weight: the reference hardcodes 1 (paper_gan.py:287);
     # exposed as the G-objective-balance ablation knob (0 = fidelity-only G)
     lambda_adv: float = 1.0
+    # linear warm-up of the adversarial slot over this many G steps (0 = off,
+    # the reference behavior).  Documented deviation knob: the round-4 ablation
+    # measured the content-anchored config (#7) converging then eroding late as
+    # the unbounded WGAN value grows; ramping lambda_adv from 0 to its full
+    # value lets the critic mature against an already-fidelity-trained G
+    # before its gradient reaches full weight.  Computed from state.step
+    # inside the jitted G step — a traced scalar, no per-epoch recompiles.
+    adv_ramp_steps: int = 0
     lambda_gp: float = 10.0
     lr: float = 5e-5
     betas: tuple = (0.5, 0.999)
@@ -197,6 +205,11 @@ class RCAGANTrainer:
 
         def g_step(state: GANTrainState, key, degraded, gt, vgg_params):
             kf, key = jax.random.split(key)
+            lam_adv = self.lambda_adv
+            if self.adv_ramp_steps:
+                lam_adv = lam_adv * jnp.minimum(
+                    1.0, (state.step + 1).astype(jnp.float32) / self.adv_ramp_steps
+                )
 
             def loss_fn(g_params):
                 fake, new_gstats = gen_fwd(g_params, state.g_stats, degraded, kf)
@@ -205,7 +218,7 @@ class RCAGANTrainer:
                     lambda p, x: d_apply_frozen(p, state.d_stats, x), state.d_params,
                     key, fake, gt,
                     lambda1=self.lambda_pixel, lambda2=self.lambda_perceptual,
-                    lambda3=self.lambda_texture, lambda4=self.lambda_adv, lambda_gp=lam_gp,
+                    lambda3=self.lambda_texture, lambda4=lam_adv, lambda_gp=lam_gp,
                 )
                 return total, (new_gstats, parts)
 

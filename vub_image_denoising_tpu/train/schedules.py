@@ -15,6 +15,7 @@ Schedules are functions of the global step; epoch granularity is reproduced via
 import math
 from typing import Optional
 
+import jax.numpy as jnp
 import optax
 
 
@@ -30,8 +31,13 @@ def cosine_annealing_lr(
     base_lr: float, steps_per_epoch: int, t_max: int = 10, eta_min: float = 0.0
 ):
     def schedule(step):
+        # jnp.cos, not math.cos: optax evaluates the schedule on the TRACED
+        # step counter inside the jitted train step — math.cos would force a
+        # concretization error for every adam/cosine config
         epoch = step // steps_per_epoch
-        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * (epoch % (2 * t_max)) / t_max)) / 2
+        return eta_min + (base_lr - eta_min) * (
+            1 + jnp.cos(math.pi * (epoch % (2 * t_max)) / t_max)
+        ) / 2
 
     return schedule
 

@@ -185,13 +185,17 @@ class SupervisedTrainer(ShardedTrainerMixin):
     def evaluate_batch(self, state, noisy):
         return self._jit_eval(state.params, noisy)
 
-    def maybe_checkpoint(self, state, epoch: int, force: bool = False):
+    def maybe_checkpoint(self, state, epoch: int, force: bool = False,
+                         name: str = ""):
         """Reference layout every N epochs: {model_state_dict, optimizer_state_dict}
         to checkpoints/rdunet_denoising.pth (RDUNet_model.py:252-261); the optax state
         rides along for exact resume.  ``force`` saves regardless of the cadence
-        (preemption shutdown)."""
+        (preemption shutdown).  ``name`` overrides the filename — mid-run
+        insurance saves use a distinct name (e.g. ``mid_rdunet_denoising.pth``)
+        so an interrupted run never masquerades as the completed artifact the
+        manifest's liveness markers look for (regen_artifacts.py)."""
         if force or (epoch + 1) % self.checkpoint_every == 0:
-            path = os.path.join(self.checkpoint_dir, self.checkpoint_name)
+            path = os.path.join(self.checkpoint_dir, name or self.checkpoint_name)
             # optax state rides along as flattened torch tensors so the file stays
             # loadable with torch.load's safe weights-only default (checkpoint.py
             # optax_state_to_safe)

@@ -286,7 +286,7 @@ def save_pth(
     sd = params_to_torch_state_dict(params, prefix=prefix)
     if bare:
         if _this_process_writes():
-            torch.save(sd, path)
+            _atomic_torch_save(sd, path)
         return
     payload: Dict[str, Any] = {"model_state_dict": sd}
     if epoch is not None:
@@ -294,7 +294,22 @@ def save_pth(
     if extra:
         payload.update(extra)
     if _this_process_writes():
-        torch.save(payload, path)
+        _atomic_torch_save(payload, path)
+
+
+def _atomic_torch_save(obj, path: str):
+    """torch.save via temp file + os.replace: a SIGTERM/SIGKILL mid-save (the
+    timeout/tunnel-wedge scenario periodic checkpointing insures against) must
+    not corrupt an existing checkpoint it is overwriting in place."""
+    import torch
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        torch.save(obj, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_pth(
@@ -335,9 +350,28 @@ def save_orbax(path: str, state: Any):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    # save into a sibling temp dir, then swap: force=True on the final path
+    # would DELETE the existing checkpoint before writing the new one, so a
+    # kill mid-save loses the only copy.  The fixed (pid-free) temp name keeps
+    # every process of a multi-host save writing into the same directory; the
+    # swap itself is metadata-only and runs on the writer process after
+    # orbax's internal completion barrier.
+    tmp = path + ".tmp-save"
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(tmp, state, force=True)
     ckptr.wait_until_finished()
+    if _this_process_writes():
+        import shutil
+
+        if os.path.isdir(path):
+            old = path + ".tmp-old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
 
 
 def restore_orbax(path: str, template: Any):
