@@ -90,10 +90,13 @@ MANIFEST = [
         "comparative_flagship",
         "runs/comparative_flagship",
         "runs/comparative_flagship/*.png",
+        # diffusion side uses the stage-2 gap ckpt (the best diffusion model
+        # of record, 30.43 dB, usually live) instead of the 29.70 baseline
+        # ckpt whose regen costs another ~145 min
         "python scripts/run_comparative_suite.py "
         "--unet-ckpt runs/accuracy_ckpt_flagship_blind/rdunet_denoising.pth "
         "--unet-base-filters 128 --diffusion-ckpt "
-        "runs/accuracy_ckpt_diffusion/diffusion_RDUNet_model_checkpointed_epoch_200.pth "
+        "runs/gap_stage2/diffusion_RDUNet_model_checkpointed_epoch_200.pth "
         "--epoch-label 200 --save-dir runs/comparative_flagship",
         "~25 min",
         "Comparative suite re-run with the flagship blind ckpt",
@@ -130,11 +133,51 @@ MANIFEST = [
         "gap_stage2",
         "runs/gap_stage2",
         "runs/gap_stage2/diffusion_RDUNet_model_checkpointed_epoch_*.pth",
-        # re-derives the composed winner from the stage-1 rows in
-        # runs/accuracy_log.jsonl, then trains it at the 3200-step budget
-        "python scripts/run_diffusion_gap_stage2.py",
-        "~105 min",
-        "Diffusion-gap stage 2: greedy-composed winner at the full budget",
+        # the EXACT composed config the round-4 run trained (ssim 0.3 +
+        # biased-t over the then-partial 4/8 grid) — pinned, not re-derived:
+        # re-running the composition over the completed grid would adopt
+        # gap-lr4 too and produce a different artifact (that run is
+        # gap_stage3 below).  ADVICE r4 #4.
+        "python scripts/train_tpu_accuracy.py --algo diffusion --epochs 200 "
+        "--batch-size 128 --n-train 2048 --sched-steps-per-epoch 300 "
+        "--device-data --eval-every 20 --lr 2e-4 --loss-weights 0,1,0.3 "
+        "--t-dist biased --tag gap-stage2 --ckpt-dir runs/gap_stage2",
+        "~145 min",
+        "Diffusion-gap stage 2: composed winner of the partial grid, 30.43 dB",
+    ),
+    (
+        "gap_stage3",
+        "runs/gap_stage3",
+        "runs/gap_stage3/diffusion_RDUNet_model_checkpointed_epoch_*.pth",
+        # re-composes over the COMPLETE 8-row stage-1 grid (incl. gap-lr4's
+        # +1.16 dB) and trains at the full budget
+        "python scripts/run_diffusion_gap_stage2.py --tag gap-stage3 "
+        "--ckpt-dir runs/gap_stage3 --budget-s 9000",
+        "~145 min",
+        "Diffusion-gap stage 3: re-composed winner over the completed grid",
+    ),
+    (
+        "rca_promoted",
+        "runs/accuracy_ckpt_rca_promoted",
+        "runs/accuracy_ckpt_rca_promoted/checkpoint_epoch_*.pth",
+        "python scripts/train_tpu_gan_accuracy.py --algo rca "
+        "--lam-feat 0.05 --lam-content 100 --lam-texture 0.001 --lam-adv 1 "
+        "--adv-ramp-steps 2560 --size 128 --n-train 2048 --n-val 64 "
+        "--batch-size 16 --epochs 60 --eval-every 5 "
+        "--tag rca-promoted --ckpt-dir runs/accuracy_ckpt_rca_promoted",
+        "~50 min",
+        "RCA-GAN promoted: content-anchored config at 128^2/2048 imgs + adv ramp",
+    ),
+    (
+        "hybrid_anchored",
+        "runs/accuracy_ckpt_hybrid_anchored",
+        "runs/accuracy_ckpt_hybrid_anchored/checkpoint_epoch_*.pth",
+        "python scripts/train_tpu_gan_accuracy.py --algo hybrid "
+        "--lam-feat 0.05 --lam-content 100 --lam-texture 0.001 --lam-adv 1 "
+        "--adv-ramp-steps 320 --epochs 40 --eval-every 5 "
+        "--tag c17-anchored --ckpt-dir runs/accuracy_ckpt_hybrid_anchored",
+        "~20 min",
+        "C17 hybrid at the fidelity-anchored G objective (4x smoke length)",
     ),
     (
         "serve_sweep",
