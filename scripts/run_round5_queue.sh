@@ -57,6 +57,14 @@ timeout 6000 python scripts/train_tpu_gan_accuracy.py --algo rca \
     --tag rca-promoted --ckpt-dir runs/accuracy_ckpt_rca_promoted
 echo "=== rca promotion rc=$? $(date -u +%FT%TZ)"
 
+# gap-T10 re-run: the round-4 queue's attempt wedged on a dead device stream
+# at epoch 8 (futex wait, tunnel itself alive) and was killed; the stage-3
+# composition below wants the complete grid
+timeout 2400 python scripts/train_tpu_accuracy.py --algo diffusion --epochs 40 \
+    --batch-size 128 --n-train 2048 --sched-steps-per-epoch 300 --device-data \
+    --eval-every 20 --lr 2e-4 --timesteps 10 --tag gap-T10 --ckpt-dir runs/gap_T10
+echo "=== gap-T10 rerun rc=$? $(date -u +%FT%TZ)"
+
 timeout 2400 python scripts/train_tpu_gan_accuracy.py --algo hybrid \
     --lam-feat 0.05 --lam-content 100 --lam-texture 0.001 --lam-adv 1 \
     --adv-ramp-steps 320 --epochs 40 --eval-every 5 \
