@@ -43,6 +43,36 @@ def test_fallback_study_pruning():
     assert any(t.state == "PRUNED" for t in study.trials)
 
 
+def test_fallback_study_catch_continues_after_failed_trial():
+    """optuna-parity catch=: a raising objective fails ONE trial, not the
+    study (round-4 postmortem: a transient tunnel error aborted the 25-trial
+    hardware study at trial 4)."""
+    study = create_study(direction="minimize", seed=3, prefer_optuna=False)
+    calls = []
+
+    def objective(trial):
+        x = trial.suggest_float("x", -1, 1)
+        calls.append(trial.number)
+        if trial.number == 1:
+            raise RuntimeError("simulated device blip")
+        return x**2
+
+    seen = []
+    study.optimize(objective, n_trials=5, catch=(RuntimeError,),
+                   callbacks=[lambda s, t: seen.append((t.number, t.state))])
+    assert calls == [0, 1, 2, 3, 4]  # the failure did not stop the loop
+    states = [t.state for t in study.trials]
+    assert states.count("FAIL") == 1 and states.count("COMPLETE") == 4
+    assert seen[1] == (1, "FAIL")  # callbacks still fire for failed trials
+    assert study.best_trial.value >= 0  # best ignores the failed trial
+    # an uncaught type still propagates (catch is a whitelist)
+    import pytest
+
+    with pytest.raises(ValueError):
+        study.optimize(lambda t: (_ for _ in ()).throw(ValueError("boom")),
+                       n_trials=1, catch=(RuntimeError,))
+
+
 def test_fallback_tpe_beats_random_on_quadratic():
     """After the startup phase, the TPE sampler must concentrate near the optimum:
     the best-of-50 TPE result should beat a pure-random best-of-50 on average."""
