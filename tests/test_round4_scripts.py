@@ -28,8 +28,10 @@ def test_regen_manifest_commands_reference_existing_scripts():
         assert os.path.exists(os.path.join(REPO, argv[1])), (
             f"manifest entry {name!r} cites missing script {argv[1]}")
         assert row, f"manifest entry {name!r} must cite its BASELINE.md row"
-        # the liveness marker must live inside (or be) the artifact path
-        assert marker == path or marker.startswith(path.rstrip("/") + "/"), (
+        # the liveness marker must live inside (or be derived from) the
+        # artifact path — a sibling completion sidecar like
+        # "<csv>.study.json" counts (written only when the run FINISHED)
+        assert marker.startswith(path.rstrip("/")), (
             f"manifest entry {name!r}: marker {marker!r} outside {path!r}")
 
 
@@ -71,6 +73,36 @@ def test_stage2_picks_best_gap_row_and_builds_command(tmp_path):
     assert "--loss-weights" in cmd and cmd[cmd.index("--loss-weights") + 1] == "0,1,0.3"
     assert cmd[cmd.index("--tag") + 1] == "gap-stage2"
     assert cmd[cmd.index("--epochs") + 1] == "200"
+
+
+def test_stage2_excludes_partial_rows_and_stage3(tmp_path):
+    """{"partial": true} snapshot rows lack the knob fields and must never be
+    promoted as measured grid points; gap-stage3 records are promotions, not
+    stage-1 rows (round-5 snapshot-safety)."""
+    log = tmp_path / "log.jsonl"
+    rows = [
+        {"tag": "gap-base", "psnr_best_db": 26.1, "lr": 2e-4,
+         "loss_weights": "0,1,0", "t_dist": "uniform",
+         "timesteps": 20, "base_filters": 32},
+        # a cut run's partial snapshot with a juicy PSNR: must be ignored
+        {"tag": "gap-lr4", "psnr_best_db": 99.0, "partial": True},
+        {"tag": "gap-stage3", "psnr_best_db": 98.0, "lr": 4e-4,
+         "loss_weights": "0,1,0.3", "t_dist": "biased",
+         "timesteps": 20, "base_filters": 32},
+    ]
+    log.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    best = stage2.pick_winner(str(log))
+    assert best["tag"] == "gap-base"
+
+
+def test_stage2_command_tag_and_ckpt_dir_override():
+    base = {"tag": "gap-base", "psnr_best_db": 26.1, "lr": 2e-4,
+            "loss_weights": "0,1,0", "t_dist": "uniform",
+            "timesteps": 20, "base_filters": 32}
+    cmd = stage2.stage2_command(base, tag="gap-stage3",
+                                ckpt_dir="runs/gap_stage3")
+    assert cmd[cmd.index("--tag") + 1] == "gap-stage3"
+    assert cmd[cmd.index("--ckpt-dir") + 1] == "runs/gap_stage3"
 
 
 def test_stage2_exits_without_stage1_rows(tmp_path):
