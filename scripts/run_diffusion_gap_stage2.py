@@ -127,6 +127,10 @@ def stage2_command(best, epochs=200, budget_s=None, tag="gap-stage2",
     return ["python", "scripts/train_tpu_accuracy.py", "--algo", "diffusion",
             "--epochs", str(epochs), "--batch-size", "128", "--n-train", "2048",
             "--sched-steps-per-epoch", "300", "--device-data", "--eval-every", "20",
+            # tunnel-outage insurance (ADVICE r4 #5): a cut run leaves a
+            # resumable mid_checkpoint.pth, which the manifest's completion
+            # markers deliberately ignore
+            "--ckpt-every", "40",
             "--lr", str(best.get("lr", 2e-4)),
             "--loss-weights", best.get("loss_weights", "0,1,0"),
             "--t-dist", best.get("t_dist", "uniform"),

@@ -221,3 +221,33 @@ def test_stage2_composition_defers_to_measured_combo_row(tmp_path, capsys):
     cmd_line = [l for l in out.splitlines() if l.startswith("running:")][0]
     assert "--t-dist biased" in cmd_line
     assert "--loss-weights 0,1,0 " in cmd_line + " "
+
+
+def test_c13_winner_pick_and_command(tmp_path):
+    """The study->retrain loop closer (VERDICT r4 #6): best completed trial
+    wins and its knobs land in the accuracy-protocol command verbatim."""
+    import c13_winner
+    csvp = tmp_path / "trials.csv"
+    csvp.write_text(
+        "base_filters,timesteps,optimizer_choice,scheduler_choice,lr,psnr\n"
+        "64,15,adam,step,0.0008,20.97\n"
+        "16,10,adam,cosine,0.0004,23.03\n"
+        "48,20,adamw,step,0.0006,24.89\n")
+    row = c13_winner.pick_winner(str(csvp))
+    assert (row["base_filters"], row["optimizer_choice"]) == ("48", "adamw")
+    cmd = c13_winner.winner_command(row, epochs=200)
+    assert cmd[cmd.index("--base-filters") + 1] == "48"
+    assert cmd[cmd.index("--optimizer") + 1] == "adamw"
+    assert cmd[cmd.index("--scheduler") + 1] == "step"
+    assert cmd[cmd.index("--timesteps") + 1] == "20"
+    assert cmd[cmd.index("--lr") + 1] == "0.0006"
+    assert cmd[cmd.index("--tag") + 1] == "c13-winner"
+
+
+def test_stage2_command_carries_mid_run_insurance():
+    """ADVICE r4 #5: long promoted runs must save resumable mid checkpoints."""
+    base = {"tag": "gap-base", "psnr_best_db": 26.1, "lr": 2e-4,
+            "loss_weights": "0,1,0", "t_dist": "uniform",
+            "timesteps": 20, "base_filters": 32}
+    cmd = stage2.stage2_command(base)
+    assert cmd[cmd.index("--ckpt-every") + 1] == "40"
