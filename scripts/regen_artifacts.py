@@ -33,7 +33,11 @@ MANIFEST = [
         "s25",
         "runs/accuracy_ckpt_s25",
         "runs/accuracy_ckpt_s25/rdunet_denoising.pth",
+        # --lr 3e-4 is part of the recorded protocol (BASELINE.md round-3 row);
+        # the round-5 regen proved its omission costs 4 dB (27.97 at the 1e-4
+        # default, identical trajectory to the round-4 queue2 attempt)
         "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
+        "--lr 3e-4 "
         "--sched-steps-per-epoch 100 --device-data --ckpt-dir runs/accuracy_ckpt_s25",
         "~20 min",
         "RDUNet-32 supervised sigma=25: 32.08 dB (31.92 on regen)",
@@ -43,11 +47,16 @@ MANIFEST = [
         "runs/accuracy_ckpt",
         "runs/accuracy_ckpt/rdunet_denoising.pth",
         "python scripts/train_tpu_accuracy.py --epochs 150 --batch-size 128 "
+        "--lr 3e-4 "
         "--sched-steps-per-epoch 100 --device-data --sigma-list 10,20,30,40,50 "
         "--ckpt-dir runs/accuracy_ckpt",
         "~20 min",
         "RDUNet-32 supervised BLIND: 30.72 dB mean (30.82 on regen)",
     ),
+    # NOTE (round 5): the flagship rows were trained round 3 and their lr was
+    # not captured (pre-dates per-row lr recording); these commands use the
+    # script default 1e-4 at batch 8.  If a regen undershoots the recorded
+    # 37.14/36.93 dB materially, sweep lr {1e-4, 3e-4} before trusting either.
     (
         "flagship",
         "runs/accuracy_ckpt_flagship",

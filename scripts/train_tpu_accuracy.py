@@ -417,12 +417,16 @@ def main():
         "psnr_denoised_db": round(final, 2),
         "psnr_best_db": round(best, 2),
         "train_seconds": round(time.time() - t_train0, 1),
+        # every row records its lr: the round-5 s25 regen silently ran at the
+        # 1e-4 default (27.97 dB) because the manifest command omitted the
+        # recorded protocol's --lr 3e-4 and old supervised rows carried no lr
+        # field to catch it against
+        "lr": args.lr,
     }
     if args.algo == "diffusion":
         result["timesteps"] = args.timesteps
         result["loss_weights"] = args.loss_weights
         result["t_dist"] = args.t_dist
-        result["lr"] = args.lr
         if args.optimizer:
             result["optimizer"] = args.optimizer
         if args.scheduler:
