@@ -219,3 +219,16 @@ def test_sidd_cli_validate(tmp_path):
     ])
     assert np.isfinite(res["avg_psnr"])
     assert (tmp_path / "out.csv").exists()
+
+
+def test_probe_device_exec_cpu_and_timeout():
+    """A4 failure detection: the exec probe must report healthy on a working
+    (CPU) backend and cleanly time out rather than hang on a dead one."""
+    from vub_image_denoising_tpu.utils.health import probe_device_exec
+
+    ok, dt, detail = probe_device_exec(timeout_s=120.0, platform="cpu")
+    assert ok, detail
+    # a sub-second timeout cannot fit interpreter start + jit: must come back
+    # as a clean failure, never a hang
+    ok2, dt2, detail2 = probe_device_exec(timeout_s=0.5, platform="cpu")
+    assert not ok2 and dt2 < 30, (dt2, detail2)
