@@ -178,6 +178,15 @@ def test_misc_utils(tmp_path, capsys):
     info = summarize_dataset(str(folder))
     assert info == {"images": 1, "patches": 2, "noise_levels": [15, 25, 50], "samples": 6}
 
+    from vub_image_denoising_tpu.utils.misc import probe_mat
+
+    import scipy.io
+
+    mat = tmp_path / "blocks.mat"
+    scipy.io.savemat(str(mat), {"ValidationNoisyBlocksSrgb": np.zeros((1, 1, 4, 4, 3), np.uint8)})
+    keys = probe_mat(str(mat))
+    assert "ValidationNoisyBlocksSrgb" in keys
+
 
 def test_model_summary_and_latency():
     from vub_image_denoising_tpu.models import RDUNet

@@ -5,6 +5,9 @@
   devices (TPU instead of CUDA).
 - ``summarize_dataset``— dataset_creation/test.py:6-40: image/patch/sample counts for a
   folder dataset.
+- ``probe_mat``        — evaluate_SIDD/test.py:1-8: load a ``.mat`` file and print its
+  keys (the format probe used before wiring a new SIDD blocks file into the
+  evaluator).
 """
 
 import os
@@ -28,6 +31,15 @@ def probe_devices():
     for d in devices:
         print(f"  {d}")
     return devices
+
+
+def probe_mat(mat_file: str):
+    """Print (and return) a ``.mat`` file's keys — evaluate_SIDD/test.py:1-8."""
+    import scipy.io
+
+    keys = list(scipy.io.loadmat(mat_file).keys())
+    print(keys)
+    return keys
 
 
 def summarize_dataset(image_folder: str, noise_levels=None, use_rgb: bool = True):
