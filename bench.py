@@ -132,9 +132,36 @@ def check_fused_parity():
     return 0 if ok else 1
 
 
+def _exec_path_gate():
+    """Fail fast (instead of hanging forever) when the device exec path is dead.
+
+    The axon runtime has a death mode where ``jax.devices()`` still answers but
+    every client's first *executed* op blocks indefinitely in a futex wait
+    (BASELINE.md round-5 postmortem).  A hung C call cannot be interrupted
+    in-process, so probe from a child interpreter under a hard timeout; wait up
+    to BENCH_HEALTH_WAIT_S (default 1800) for recovery, then emit a diagnostic
+    JSON line and exit non-zero rather than wedging the caller.
+    """
+    if os.environ.get("BENCH_HEALTH", "1") == "0" or jax.default_backend() != "axon":
+        return
+    from vub_image_denoising_tpu.utils.health import probe_device_exec
+
+    deadline = time.time() + float(os.environ.get("BENCH_HEALTH_WAIT_S", "1800"))
+    while True:
+        ok, _, detail = probe_device_exec(timeout_s=240)
+        if ok:
+            return
+        if time.time() >= deadline:
+            print(json.dumps({"metric": "rdunet_denoise_throughput",
+                              "error": "device exec path dead", "detail": detail}))
+            raise SystemExit(1)
+        time.sleep(60)
+
+
 def main():
     import sys
 
+    _exec_path_gate()
     if "--check" in sys.argv:
         raise SystemExit(check_fused_parity())
     value, flops_per_px, engine = bench_rdunet(

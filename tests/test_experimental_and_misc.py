@@ -241,3 +241,33 @@ def test_probe_device_exec_cpu_and_timeout():
     # as a clean failure, never a hang
     ok2, dt2, detail2 = probe_device_exec(timeout_s=0.5, platform="cpu")
     assert not ok2 and dt2 < 30, (dt2, detail2)
+
+
+def test_bench_exec_path_gate(monkeypatch, capsys):
+    """bench.py must fail fast with a diagnostic JSON line — not hang — when
+    the device exec path is dead (the round-5 futex death mode), and no-op on
+    non-axon backends."""
+    import json
+
+    import bench
+
+    # non-axon backend (tests run on cpu): gate is a no-op
+    bench._exec_path_gate()
+
+    # simulate axon + a dead probe: diagnostic line + non-zero exit
+    monkeypatch.setattr(bench.jax, "default_backend", lambda: "axon")
+    import vub_image_denoising_tpu.utils.health as health
+
+    monkeypatch.setattr(health, "probe_device_exec",
+                        lambda timeout_s=240: (False, timeout_s, "timeout"))
+    monkeypatch.setenv("BENCH_HEALTH_WAIT_S", "0")
+    with pytest.raises(SystemExit) as exc:
+        bench._exec_path_gate()
+    assert exc.value.code == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["error"] == "device exec path dead"
+
+    # healthy probe: gate returns
+    monkeypatch.setattr(health, "probe_device_exec",
+                        lambda timeout_s=240: (True, 5.0, "EXEC_OK 128.0"))
+    bench._exec_path_gate()
